@@ -83,6 +83,7 @@ _C.RL.DISTANCE_REWARD_SCALE = 1.0
 _C.RL.TIME_DIFF = False
 _C.RL.QUERY_REWARD = -1.0
 _C.RL.CONSECUTIVE_REWARD = -0.5
+_C.RL.CONSECUTIVE_CONSTRAINT_REWARD = False
 _C.RL.QUERY_REWARD_DISTANCE = -1.0
 _C.RL.WITH_QUERY_CONSTRAINT = True
 _C.RL.NUM_TOTAL_QUERY = 5

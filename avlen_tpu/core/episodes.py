@@ -1,0 +1,231 @@
+"""Episode datasets, iteration, and device packing.
+
+Mirrors the reference episode model: `SemanticAudioGoalNavEpisode`
+(soundspaces/tasks/semantic_audionav_task.py:38-63, dialog variant
+semantic_audiodialognav_task.py:39-60) and habitat's
+`Dataset`/`EpisodeIterator` (habitat-lab-dialog/habitat/core/dataset.py:
+82-529: cycling, shuffling, scene grouping, max_scene_repeat limits).
+
+TPU-native difference: after host-side iteration order is fixed, episodes are
+*packed into dense arrays* and streamed to each env slot on device; the
+batched env auto-advances its per-slot cursor on episode end, so no host
+round-trip happens at episode boundaries.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import gzip
+import json
+import random
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+MAX_VIEW_POINTS = 16
+
+
+@dataclasses.dataclass
+class Episode:
+    """One navigation episode on a scene graph.
+
+    ``goal_node`` is the sound source node; ``view_point_nodes`` are the
+    success view points (semantic task goals; defaults to the goal node).
+    ``geodesic_distance`` / ``num_action`` mirror episode.info of the
+    reference datasets (used by NormalizedDTG and SNA).
+    """
+
+    episode_id: str
+    scene_id: int
+    start_node: int
+    start_rot_idx: int  # rotation_angle // 90
+    goal_node: int
+    sound_id: int = 0
+    offset: int = 0
+    duration: int = 500  # everlasting default (simulator.py:356-359)
+    category: int = 0
+    view_point_nodes: Optional[List[int]] = None
+    distractor_node: int = -1
+    distractor_sound_id: int = -1
+    geodesic_distance: Optional[float] = None
+    num_action: Optional[int] = None
+    # dialog fields (semantic_audiodialognav_task.py:39-60)
+    sub_instr: Optional[str] = None
+    dialog_node: int = -1
+
+
+class EpisodeDataset:
+    """Episode container with habitat-compatible iteration semantics."""
+
+    def __init__(self, episodes: Sequence[Episode]):
+        self.episodes: List[Episode] = list(episodes)
+
+    def scene_ids(self) -> List[int]:
+        return sorted({e.scene_id for e in self.episodes})
+
+    def filter_scenes(self, scene_ids: Sequence[int]) -> "EpisodeDataset":
+        keep = set(scene_ids)
+        return EpisodeDataset([e for e in self.episodes if e.scene_id in keep])
+
+    def episode_iterator(
+        self,
+        cycle: bool = True,
+        shuffle: bool = True,
+        group_by_scene: bool = True,
+        max_scene_repeat_episodes: int = -1,
+        seed: int = 0,
+    ) -> Iterator[Episode]:
+        return EpisodeIterator(
+            self.episodes,
+            cycle=cycle,
+            shuffle=shuffle,
+            group_by_scene=group_by_scene,
+            max_scene_repeat_episodes=max_scene_repeat_episodes,
+            seed=seed,
+        )
+
+    @staticmethod
+    def from_json_gz(path: str) -> "EpisodeDataset":
+        """Load a packed episode file (our json.gz schema, one dict per episode)."""
+        with gzip.open(path, "rt") as f:
+            data = json.load(f)
+        eps = [Episode(**d) for d in data["episodes"]]
+        return EpisodeDataset(eps)
+
+    def to_json_gz(self, path: str) -> None:
+        with gzip.open(path, "wt") as f:
+            json.dump({"episodes": [dataclasses.asdict(e) for e in self.episodes]}, f)
+
+
+class EpisodeIterator:
+    """Cycling/shuffling/scene-grouped iterator (habitat dataset.py:310-356).
+
+    Scene grouping keeps episodes of one scene adjacent to minimize scene
+    switches; ``max_scene_repeat_episodes`` forces a scene switch after that
+    many episodes of the same scene (round-robin across remaining scenes).
+    """
+
+    def __init__(
+        self,
+        episodes: Sequence[Episode],
+        cycle: bool = True,
+        shuffle: bool = True,
+        group_by_scene: bool = True,
+        max_scene_repeat_episodes: int = -1,
+        seed: int = 0,
+    ):
+        self._rng = random.Random(seed)
+        self.cycle = cycle
+        self.shuffle = shuffle
+        self.group_by_scene = group_by_scene
+        self.max_scene_repeat_episodes = max_scene_repeat_episodes
+        self.episodes = list(episodes)
+        self._order: List[Episode] = []
+        self._pos = 0
+        self._same_scene_count = 0
+        self._refill()
+
+    def _refill(self) -> None:
+        eps = list(self.episodes)
+        if self.shuffle:
+            self._rng.shuffle(eps)
+        if self.group_by_scene:
+            by_scene: Dict[int, List[Episode]] = {}
+            for e in eps:
+                by_scene.setdefault(e.scene_id, []).append(e)
+            scene_order = list(by_scene)
+            if self.shuffle:
+                self._rng.shuffle(scene_order)
+            if self.max_scene_repeat_episodes > 0:
+                # interleave chunks of each scene
+                chunks: List[List[Episode]] = []
+                for s in scene_order:
+                    lst = by_scene[s]
+                    for i in range(0, len(lst), self.max_scene_repeat_episodes):
+                        chunks.append(lst[i : i + self.max_scene_repeat_episodes])
+                order: List[Episode] = []
+                while chunks:
+                    nxt = chunks.pop(0)
+                    order.extend(nxt)
+                eps = order
+            else:
+                eps = [e for s in scene_order for e in by_scene[s]]
+        self._order = eps
+        self._pos = 0
+
+    def __iter__(self) -> "EpisodeIterator":
+        return self
+
+    def __next__(self) -> Episode:
+        if self._pos >= len(self._order):
+            if not self.cycle:
+                raise StopIteration
+            self._refill()
+        e = self._order[self._pos]
+        self._pos += 1
+        return e
+
+
+def pack_episodes(episodes: Sequence[Episode], num_envs: int, episodes_per_env: Optional[int] = None) -> Dict[str, np.ndarray]:
+    """Pack an episode stream into dense arrays + a per-env consumption order.
+
+    Episodes are dealt round-robin to env slots grouped by scene (the
+    reference splits scenes across processes in construct_envs,
+    ss_baselines/common/env_utils.py:66-70); each env slot cycles through its
+    own subsequence.
+    """
+    eps = list(episodes)
+    e = len(eps)
+    v = MAX_VIEW_POINTS
+    out = {
+        "scene": np.zeros((e,), np.int32),
+        "start_node": np.zeros((e,), np.int32),
+        "start_rot": np.zeros((e,), np.int32),
+        "goal_node": np.zeros((e,), np.int32),
+        "sound": np.zeros((e,), np.int32),
+        "offset": np.zeros((e,), np.int32),
+        "duration": np.zeros((e,), np.int32),
+        "category": np.zeros((e,), np.int32),
+        "view_points": np.full((e, v), -1, np.int32),
+        "distractor_node": np.full((e,), -1, np.int32),
+        "distractor_sound": np.full((e,), -1, np.int32),
+        "geodesic": np.zeros((e,), np.float32),
+        "num_action": np.zeros((e,), np.int32),
+        "dialog_node": np.full((e,), -1, np.int32),
+    }
+    for i, ep in enumerate(eps):
+        out["scene"][i] = ep.scene_id
+        out["start_node"][i] = ep.start_node
+        out["start_rot"][i] = ep.start_rot_idx
+        out["goal_node"][i] = ep.goal_node
+        out["sound"][i] = ep.sound_id
+        out["offset"][i] = ep.offset
+        out["duration"][i] = ep.duration
+        out["category"][i] = ep.category
+        vps = ep.view_point_nodes or [ep.goal_node]
+        out["view_points"][i, : min(len(vps), v)] = vps[:v]
+        out["distractor_node"][i] = ep.distractor_node
+        out["distractor_sound"][i] = ep.distractor_sound_id
+        out["geodesic"][i] = ep.geodesic_distance if ep.geodesic_distance is not None else 0.0
+        out["num_action"][i] = ep.num_action if ep.num_action is not None else 0
+        out["dialog_node"][i] = ep.dialog_node
+
+    # scene-grouped round-robin deal to env slots
+    by_scene: Dict[int, List[int]] = {}
+    for i, ep in enumerate(eps):
+        by_scene.setdefault(ep.scene_id, []).append(i)
+    env_lists: List[List[int]] = [[] for _ in range(num_envs)]
+    scenes = sorted(by_scene)
+    for k, s in enumerate(scenes):
+        env_lists[k % num_envs].extend(by_scene[s])
+    # ensure every env slot has at least one episode
+    for b in range(num_envs):
+        if not env_lists[b]:
+            env_lists[b] = list(range(e))
+    per = episodes_per_env or max(len(lst) for lst in env_lists)
+    order = np.zeros((num_envs, per), np.int32)
+    for b in range(num_envs):
+        lst = env_lists[b]
+        order[b] = np.array([lst[i % len(lst)] for i in range(per)], np.int32)
+    out["order"] = order
+    return out
