@@ -296,6 +296,20 @@ _TC.DATASET.VERSION = "v1"
 _TC.DATASET.SCENES_DIR = "data/scene_datasets"
 _TC.DATASET.CONTENT_SCENES = ["*"]
 _TC.DATASET.DATA_PATH = "data/datasets/audionav/{split}/{split}.json.gz"
+# Synthetic world generation (used when TYPE == "synthetic"; this environment
+# ships no Matterport/Replica assets, so tests and benchmarks run on
+# procedurally generated scenes — see avlen_tpu/sim/synthetic.py)
+_TC.DATASET.SYNTHETIC = CN()
+_TC.DATASET.SYNTHETIC.NUM_SCENES = 2
+_TC.DATASET.SYNTHETIC.SIDE = 8
+_TC.DATASET.SYNTHETIC.NUM_EPISODES = 200
+_TC.DATASET.SYNTHETIC.RIR_LENGTH = 2000
+_TC.DATASET.SYNTHETIC.NUM_SOUNDS = 4
+_TC.DATASET.SYNTHETIC.SOUND_SECS = 1
+_TC.DATASET.SYNTHETIC.FRAME_RES = 64
+_TC.DATASET.SYNTHETIC.MIN_HOPS = 2
+_TC.DATASET.SYNTHETIC.MAX_HOPS = 40
+_TC.DATASET.SYNTHETIC.SEED = 0
 
 
 def get_task_config(

@@ -1,0 +1,233 @@
+"""AV-Nav AudioGoal PPO trainer.
+
+Capability match for PPOTrainer "AVNavTrainer" (ss_baselines/av_nav/ppo/
+ppo_trainer.py:43-676): recurrent audio-visual PPO with GAE, windowed episode
+stats, tensorboard scalars, ckpt.{i}.pth checkpoints, deterministic eval.
+
+TPU-native execution model: the entire num_steps rollout runs as one jitted
+`lax.scan` (rl/rollout.py) and the entire PPO update (epochs × minibatches)
+is a second jit — per update there are exactly two device dispatches instead
+of the reference's num_steps × (3 RPCs + forwards) + epoch × minibatch
+python-loop steps.
+"""
+
+from __future__ import annotations
+
+import collections
+import functools
+import os
+import time
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avlen_tpu.core.registry import registry
+from avlen_tpu.models.policy import AudioNavBaselineNet, Policy
+from avlen_tpu.rl.gae import compute_gae
+from avlen_tpu.rl.ppo import PPOConfig, make_optimizer, ppo_update
+from avlen_tpu.rl.rollout import CarryState, collect_rollout
+from avlen_tpu.rl.trainers.base import BaseRLTrainer
+from avlen_tpu.sim.builder import construct_batched_env
+from avlen_tpu.utils.checkpoint import save_checkpoint
+from avlen_tpu.utils.logging import logger
+from avlen_tpu.utils.tb import TensorboardWriter
+
+
+def ppo_config_from(config) -> PPOConfig:
+    p = config.RL.PPO
+    return PPOConfig(
+        clip_param=p.clip_param,
+        ppo_epoch=p.ppo_epoch,
+        num_mini_batch=p.num_mini_batch,
+        value_loss_coef=p.value_loss_coef,
+        entropy_coef=p.entropy_coef,
+        lr=p.lr,
+        eps=p.eps,
+        max_grad_norm=p.max_grad_norm,
+        gamma=p.gamma,
+        tau=p.tau,
+        use_gae=p.use_gae,
+        use_normalized_advantage=p.use_normalized_advantage,
+    )
+
+
+@registry.register_trainer(name="AVNavTrainer")
+class AVNavTrainer(BaseRLTrainer):
+    """PPO over the batched device env with a GRU audio-visual policy."""
+
+    def __init__(self, config):
+        super().__init__(config)
+        self._setup()
+
+    def _setup(self, num_envs=None):
+        cfg = self.config
+        self.ppo_cfg = ppo_config_from(cfg)
+        self.num_steps = cfg.RL.PPO.num_steps
+        self.env = construct_batched_env(
+            cfg, num_envs=num_envs, with_depth=True, with_rgb="RGB_SENSOR" in cfg.SENSORS and not cfg.EXTRA_RGB
+        )
+        b = self.env.num_envs
+        spec_hw = self.env.spec_config.out_shape[:2]
+        self.policy = Policy(
+            net=AudioNavBaselineNet(
+                hidden_size=cfg.RL.PPO.hidden_size,
+                spectrogram_hw=spec_hw,
+                use_rgb="rgb" in self.env.config.sensors,
+                use_depth="depth" in self.env.config.sensors,
+            ),
+            num_actions=len(cfg.TASK_CONFIG.TASK.POSSIBLE_ACTIONS),
+        )
+        key = jax.random.key(cfg.SEED)
+        state, obs = self.env.reset()
+        hidden = jnp.zeros((b, cfg.RL.PPO.hidden_size), jnp.float32)
+        self.params = self.policy.init(
+            key, obs, hidden, jnp.ones((b,), jnp.float32), key, method=Policy.act
+        )
+        self.optimizer = make_optimizer(self.ppo_cfg)
+        self.opt_state = self.optimizer.init(self.params)
+        self.carry = CarryState(
+            env_state=state, obs=obs, hidden=hidden,
+            masks=jnp.zeros((b,), jnp.float32), key=key,
+        )
+        self._build_jits()
+
+    def _build_jits(self):
+        policy, env = self.policy, self.env
+        num_steps, ppo_cfg, optimizer = self.num_steps, self.ppo_cfg, self.optimizer
+
+        def collect(params, carry, deterministic=False):
+            def pol(obs, h, m, key):
+                return policy.apply(params, obs, h, m, key, deterministic, method=Policy.act)
+
+            def val(obs, h, m):
+                return policy.apply(params, obs, h, m, method=Policy.get_value)
+
+            return collect_rollout(env._step_impl_noquery, pol, val, carry, num_steps)
+
+        def update(params, opt_state, batch, key):
+            adv, ret = compute_gae(
+                batch.rewards, batch.values, batch.bootstrap_value,
+                1.0 - batch.dones.astype(jnp.float32), ppo_cfg.gamma, ppo_cfg.tau,
+            )
+
+            def evaluate_actions(p, obs, h0, masks, actions):
+                return policy.apply(p, obs, h0, masks, actions, method=Policy.evaluate_actions)
+
+            return ppo_update(
+                params, opt_state, batch, adv, ret, key, evaluate_actions, optimizer, ppo_cfg
+            )
+
+        self._collect = jax.jit(collect, static_argnames=("deterministic",))
+        self._update = jax.jit(update)
+
+    # ------------------------------------------------------------------
+    def train(self) -> None:
+        cfg = self.config
+        os.makedirs(cfg.CHECKPOINT_FOLDER, exist_ok=True)
+        os.makedirs(cfg.TENSORBOARD_DIR, exist_ok=True)
+        window = collections.deque(maxlen=cfg.RL.PPO.reward_window_size)
+        reward_acc = np.zeros((self.env.num_envs,), np.float64)
+        key = jax.random.key(cfg.SEED + 1)
+        t_start = time.time()
+        env_time = pth_time = 0.0
+        ckpt_count = 0
+
+        with TensorboardWriter(cfg.TENSORBOARD_DIR) as writer:
+            for update in range(cfg.NUM_UPDATES):
+                t0 = time.time()
+                self.carry, batch = self._collect(self.params, self.carry)
+                jax.block_until_ready(batch.rewards)
+                t1 = time.time()
+                key, sub = jax.random.split(key)
+                self.params, self.opt_state, stats = self._update(
+                    self.params, self.opt_state, batch, sub
+                )
+                jax.block_until_ready(stats["value_loss"])
+                t2 = time.time()
+                env_time += t1 - t0
+                pth_time += t2 - t1
+
+                rewards = np.asarray(batch.rewards)
+                dones = np.asarray(batch.dones)
+                metrics = {k: np.asarray(v) for k, v in batch.metrics.items()}
+                for t in range(rewards.shape[0]):
+                    reward_acc += rewards[t]
+                    for b in np.nonzero(dones[t])[0]:
+                        window.append(
+                            {"reward": reward_acc[b], **{k: metrics[k][t, b] for k in metrics}}
+                        )
+                        reward_acc[b] = 0.0
+
+                self.num_steps_done += rewards.size
+                self.num_updates_done += 1
+
+                if update % cfg.LOG_INTERVAL == 0:
+                    fps = self.num_steps_done / max(time.time() - t_start, 1e-6)
+                    mean_stats = {
+                        k: float(np.mean([w[k] for w in window])) for k in (window[0] if window else {})
+                    }
+                    logger.info(
+                        f"update {update}\tfps {fps:.1f}\tenv-time {env_time:.2f}s\t"
+                        f"pth-time {pth_time:.2f}s\tframes {self.num_steps_done}"
+                    )
+                    if window:
+                        logger.info(
+                            "window episodes {}: reward {:.3f} success {:.3f} spl {:.3f}".format(
+                                len(window), mean_stats.get("reward", 0.0),
+                                mean_stats.get("success", 0.0), mean_stats.get("spl", 0.0),
+                            )
+                        )
+                    writer.add_scalar("Metrics/fps", fps, self.num_steps_done)
+                    for k, v in stats.items():
+                        writer.add_scalar(f"Policy/{k}", float(v), self.num_steps_done)
+                    for k, v in (mean_stats.items() if window else []):
+                        writer.add_scalar(f"Metrics/{k}", v, self.num_steps_done)
+
+                if (update + 1) % max(cfg.CHECKPOINT_INTERVAL // max(self.num_steps * self.env.num_envs, 1), 1) == 0 or update + 1 == cfg.NUM_UPDATES:
+                    self.save_checkpoint(f"ckpt.{ckpt_count}.pth")
+                    ckpt_count += 1
+
+    def save_checkpoint(self, name: str) -> None:
+        save_checkpoint(
+            self.config.CHECKPOINT_FOLDER,
+            name,
+            {
+                "state_dict": self.params,
+                "config": self.config.to_dict(),
+                "extra_state": {"step": self.num_steps_done},
+            },
+        )
+
+    # ------------------------------------------------------------------
+    def _eval_checkpoint(self, checkpoint_path: str, writer, checkpoint_index: int = 0) -> Dict[str, float]:
+        ckpt = self.load_checkpoint(checkpoint_path)
+        self.reconfigure_from_checkpoint(ckpt)
+        params = jax.tree.map(jnp.asarray, ckpt["state_dict"])
+        count = self.config.TEST_EPISODE_COUNT
+        stats: Dict[str, list] = collections.defaultdict(list)
+        state, obs = self.env.reset()
+        b = self.env.num_envs
+        carry = CarryState(
+            env_state=state, obs=obs,
+            hidden=jnp.zeros((b, self.config.RL.PPO.hidden_size), jnp.float32),
+            masks=jnp.zeros((b,), jnp.float32),
+            key=jax.random.key(self.config.SEED + 7),
+        )
+        episodes = 0
+        while episodes < count:
+            carry, batch = self._collect(params, carry, deterministic=True)
+            dones = np.asarray(batch.dones)
+            metrics = {k: np.asarray(v) for k, v in batch.metrics.items()}
+            for t, bi in zip(*np.nonzero(dones)):
+                if episodes >= count:
+                    break
+                for k in metrics:
+                    stats[k].append(metrics[k][t, bi])
+                episodes += 1
+        means = {k: float(np.mean(v)) for k, v in stats.items()}
+        logger.info(f"eval ckpt {checkpoint_index}: " + ", ".join(f"{k}={v:.3f}" for k, v in means.items()))
+        for k, v in means.items():
+            writer.add_scalar(f"val/{k}", v, checkpoint_index)
+        return means

@@ -1,0 +1,96 @@
+"""Trainer base class.
+
+Contract parity with BaseTrainer/BaseRLTrainer (ss_baselines/common/
+base_trainer.py:22-289): ``train()`` / ``eval()`` entry points, checkpoint
+folder polling during eval, and eval-config merge priority (current EVAL
+opts over checkpoint-saved config, base_trainer.py:125-158).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Optional
+
+from avlen_tpu.config.node import ConfigNode
+from avlen_tpu.utils.checkpoint import list_checkpoints, load_checkpoint, poll_checkpoint_folder
+from avlen_tpu.utils.logging import logger
+from avlen_tpu.utils.tb import TensorboardWriter
+
+
+class BaseRLTrainer:
+    def __init__(self, config: ConfigNode):
+        self.config = config
+        self.num_updates_done = 0
+        self.num_steps_done = 0
+
+    # -- API -------------------------------------------------------------
+    def train(self) -> None:
+        raise NotImplementedError
+
+    def _eval_checkpoint(self, checkpoint_path: str, writer: TensorboardWriter, checkpoint_index: int = 0) -> Dict[str, float]:
+        raise NotImplementedError
+
+    def eval(self) -> None:
+        """Evaluate a single checkpoint or poll a folder of them
+        (base_trainer.py:69-123)."""
+        os.makedirs(self.config.TENSORBOARD_DIR, exist_ok=True)
+        with TensorboardWriter(self.config.TENSORBOARD_DIR) as writer:
+            ckpt_dir = self.config.EVAL_CKPT_PATH_DIR
+            if os.path.isfile(ckpt_dir):
+                self._eval_checkpoint(ckpt_dir, writer, 0)
+                return
+            ckpts = list_checkpoints(ckpt_dir)
+            if not ckpts:
+                logger.warning(f"No checkpoints found in {ckpt_dir}")
+                return
+            if self.config.USE_LAST_CKPT:
+                self._eval_checkpoint(ckpts[-1], writer, len(ckpts) - 1)
+                return
+            for i, path in enumerate(ckpts):
+                self._eval_checkpoint(path, writer, i)
+
+    def resolve_eval_config(self, ckpt_config: Optional[ConfigNode]) -> ConfigNode:
+        """Merge priority: current eval opts > checkpoint config > current
+        config (base_trainer.py:125-158)."""
+        config = self.config.clone()
+        if ckpt_config is not None and self.config.EVAL.USE_CKPT_CONFIG:
+            config.defrost()
+            merged = ckpt_config.clone() if isinstance(ckpt_config, ConfigNode) else ConfigNode(ckpt_config)
+            for key in ("TASK_CONFIG", "RL"):
+                if key in merged:
+                    config[key] = merged[key].clone()
+            if self.config.CMD_TRAILING_OPTS:
+                config.merge_from_list(list(self.config.CMD_TRAILING_OPTS))
+            config.freeze()
+        return config
+
+    @staticmethod
+    def load_checkpoint(path: str) -> Dict[str, Any]:
+        return load_checkpoint(path)
+
+    def reconfigure_from_checkpoint(self, ckpt: Dict[str, Any]) -> None:
+        """Rebuild env/policy under the checkpoint's saved config (the
+        reference re-merges eval config from the checkpoint,
+        base_trainer.py:125-158) so network shapes match the training run."""
+        if not self.config.EVAL.USE_CKPT_CONFIG or "config" not in ckpt:
+            return
+        saved = ConfigNode(ckpt["config"])
+        current = self.config.clone()
+        changed = False
+        for key in ("TASK_CONFIG", "RL"):
+            if key in saved and saved[key].to_dict() != current[key].to_dict():
+                current[key] = saved[key].clone()
+                changed = True
+        if changed:
+            if self.config.CMD_TRAILING_OPTS:
+                try:
+                    current.merge_from_list(list(self.config.CMD_TRAILING_OPTS))
+                except KeyError:
+                    pass
+            current.freeze()
+            self.config = current
+            self._setup()
+
+    def percent_done(self) -> float:
+        return self.num_updates_done / max(self.config.NUM_UPDATES, 1)

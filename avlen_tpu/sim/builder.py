@@ -1,0 +1,105 @@
+"""Environment construction from config.
+
+The TPU analogue of `construct_envs` (ss_baselines/common/env_utils.py:
+28-137): instead of spawning one simulator process per env and splitting
+scenes across processes, it builds ONE batched device env whose episode
+packing deals scenes round-robin across env slots (core/episodes.pack_episodes).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from avlen_tpu.config.node import ConfigNode
+from avlen_tpu.core.episodes import EpisodeDataset, pack_episodes
+from avlen_tpu.sim.env import BatchedAudioNavEnv, EnvConfig, RewardConfig
+from avlen_tpu.sim.synthetic import make_episodes, make_scene_bank
+
+
+def reward_config_from(config: ConfigNode) -> RewardConfig:
+    rl = config.RL
+    return RewardConfig(
+        success_reward=rl.SUCCESS_REWARD,
+        slack_reward=rl.SLACK_REWARD,
+        with_time_penalty=rl.WITH_TIME_PENALTY,
+        with_distance_reward=rl.WITH_DISTANCE_REWARD,
+        distance_reward_scale=rl.DISTANCE_REWARD_SCALE,
+        with_query_constraint=rl.WITH_QUERY_CONSTRAINT,
+        num_total_query=rl.NUM_TOTAL_QUERY,
+        query_reward=rl.QUERY_REWARD,
+        soft_query_reward=rl.SOFT_QUERY_REWARD,
+        consecutive_constraint_reward=rl.CONSECUTIVE_CONSTRAINT_REWARD,
+    )
+
+
+def sensors_from_task(tc: ConfigNode) -> Tuple[str, ...]:
+    mapping = {
+        "SPECTROGRAM_SENSOR": "spectrogram",
+        "AUDIOGOAL_SENSOR": "audiogoal",
+        "CATEGORY": "category",
+        "CATEGORY_BELIEF": "category_belief",
+        "LOCATION_BELIEF": "location_belief",
+        "POSE_SENSOR": "pose",
+        "COLLISION": "collision",
+        "ORACLE_ACTION_SENSOR": "oracle_action",
+        "POINTGOAL_WITH_GPS_COMPASS_SENSOR": "pointgoal_with_gps_compass",
+    }
+    sensors = [mapping[s] for s in tc.TASK.SENSORS if s in mapping]
+    if not sensors:
+        sensors = ["spectrogram", "pose", "category", "collision", "oracle_action"]
+    return tuple(sensors)
+
+
+def construct_batched_env(
+    config: ConfigNode,
+    num_envs: Optional[int] = None,
+    with_rgb: bool = False,
+    with_depth: bool = True,
+    seed: Optional[int] = None,
+) -> BatchedAudioNavEnv:
+    tc = config.TASK_CONFIG
+    b = num_envs or config.NUM_PROCESSES
+    syn = tc.DATASET.SYNTHETIC
+    rng = np.random.RandomState(seed if seed is not None else syn.SEED)
+
+    bank, tables = make_scene_bank(
+        rng,
+        num_scenes=syn.NUM_SCENES,
+        side=syn.SIDE,
+        grid_size=tc.SIMULATOR.GRID_SIZE,
+        sampling_rate=tc.SIMULATOR.AUDIO.RIR_SAMPLING_RATE,
+        rir_length=syn.RIR_LENGTH,
+        num_sounds=syn.NUM_SOUNDS,
+        sound_secs=syn.SOUND_SECS,
+        frame_res=syn.FRAME_RES,
+        with_frames=with_rgb or with_depth,
+    )
+    episodes = make_episodes(
+        rng,
+        tables,
+        syn.NUM_EPISODES,
+        grid_size=tc.SIMULATOR.GRID_SIZE,
+        num_sounds=syn.NUM_SOUNDS,
+        min_hops=syn.MIN_HOPS,
+        max_hops=syn.MAX_HOPS,
+        with_distractor=tc.SIMULATOR.AUDIO.HAS_DISTRACTOR_SOUND,
+    )
+    packed = pack_episodes(episodes, num_envs=b)
+
+    sensors = list(sensors_from_task(tc))
+    if with_depth and "depth" not in sensors:
+        sensors.append("depth")
+    if with_rgb and "rgb" not in sensors:
+        sensors.append("rgb")
+
+    env_cfg = EnvConfig(
+        max_episode_steps=tc.ENVIRONMENT.MAX_EPISODE_STEPS,
+        success_distance=tc.TASK.SUCCESS_DISTANCE,
+        grid_size=tc.SIMULATOR.GRID_SIZE,
+        sensors=tuple(sensors),
+        reward=reward_config_from(config),
+        has_distractor=tc.SIMULATOR.AUDIO.HAS_DISTRACTOR_SOUND,
+    )
+    return BatchedAudioNavEnv(bank, packed, env_cfg)

@@ -65,6 +65,8 @@ class EnvState(NamedTuple):
     num_action: jax.Array  # (B,) i32
     collided: jax.Array  # (B,) bool
     new_episode: jax.Array  # (B,) bool — True on the first obs of an episode
+    ep_order: jax.Array  # (B, E_per) i32 — this slot's episode stream (kept in
+    # state so the env shards cleanly over device meshes)
 
 
 class QueryInfo(NamedTuple):
@@ -199,6 +201,7 @@ class BatchedAudioNavEnv:
             num_action=zero,
             collided=jnp.zeros((b,), bool),
             new_episode=jnp.ones((b,), bool),
+            ep_order=self.eps["order"],
         )
         return state, self._observe_jit(state)
 
@@ -212,6 +215,16 @@ class BatchedAudioNavEnv:
                 cons_reward=jnp.zeros((b,), jnp.float32),
             )
         return self._step(state, actions, query)
+
+    def _step_impl_noquery(self, state: EnvState, actions: jax.Array):
+        """Pure step with no query shaping inputs — traceable inside scans."""
+        b = state.node.shape[0]
+        query = QueryInfo(
+            is_queried=jnp.zeros((b,), bool),
+            query_num=jnp.zeros((b,), jnp.int32),
+            cons_reward=jnp.zeros((b,), jnp.float32),
+        )
+        return self._step_impl(state, actions, query)
 
     def _step_impl(self, state: EnvState, actions: jax.Array, query: QueryInfo):
         cfg = self.config
@@ -285,10 +298,10 @@ class BatchedAudioNavEnv:
             "sws": sws,
         }
 
-        # ---- auto-reset: pull each done env's next episode
+        # ---- auto-reset: pull each done env's next episode from its stream
         cursor = jnp.where(done, state.cursor + 1, state.cursor)
-        order = self.eps["order"]
-        ep_i = order[jnp.arange(self.num_envs), cursor % order.shape[1]]
+        per = state.ep_order.shape[1]
+        ep_i = jnp.take_along_axis(state.ep_order, (cursor % per)[:, None], axis=1)[:, 0]
         f = self._episode_fields(ep_i)
 
         def sel(new_ep_val, cont_val):
@@ -318,6 +331,7 @@ class BatchedAudioNavEnv:
             num_action=sel(jnp.zeros_like(num_action), num_action),
             collided=jnp.where(done, False, collided),
             new_episode=done,
+            ep_order=state.ep_order,
         )
         obs = self._observe(next_state)
         return next_state, StepOutput(obs=obs, reward=r, done=done, metrics=metrics)
@@ -361,15 +375,27 @@ class BatchedAudioNavEnv:
         if "depth" in sensors and bank.depth is not None:
             obs["depth"] = bank.depth[state.scene, state.node, state.rot]
 
+        b = state.node.shape[0]
         if "category" in sensors:
             obs["category"] = jax.nn.one_hot(state.category, cfg.num_categories)
         if "category_belief" in sensors:
-            obs["category_belief"] = jnp.zeros((self.num_envs, cfg.num_categories), jnp.float32)
+            obs["category_belief"] = jnp.zeros((b, cfg.num_categories), jnp.float32)
         if "location_belief" in sensors:
-            obs["location_belief"] = jnp.zeros((self.num_envs, 2), jnp.float32)
+            obs["location_belief"] = jnp.zeros((b, 2), jnp.float32)
 
         if "pose" in sensors:
             obs["pose"] = self._pose(state)
+
+        if "pointgoal_with_gps_compass" in sensors:
+            # goal location in agent base frame: X forward, Y rightward
+            # (habitat PointGoalWithGPSCompass with CARTESIAN 2D format,
+            # habitat/tasks/nav/nav.py:290-330)
+            tables = self.bank.tables
+            d = tables["positions"][state.scene, state.goal_node] - tables["positions"][state.scene, state.node]
+            th = state.rot.astype(jnp.float32) * (jnp.pi / 2)
+            fwd = -d[:, 0] * jnp.sin(th) - d[:, 2] * jnp.cos(th)
+            rgt = d[:, 0] * jnp.cos(th) - d[:, 2] * jnp.sin(th)
+            obs["pointgoal_with_gps_compass"] = jnp.stack([fwd, rgt], axis=1)
 
         if "collision" in sensors:
             obs["collision"] = state.collided.astype(jnp.float32)[:, None]
