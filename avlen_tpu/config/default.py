@@ -115,6 +115,10 @@ _C.RL.PPO.gamma = 0.99
 _C.RL.PPO.tau = 0.95
 _C.RL.PPO.reward_window_size = 50
 _C.RL.PPO.use_normalized_advantage = False
+_C.RL.PPO.unct_coef = 0.5
+# CLIP text tower size (ViT-B/32 text defaults; shrink for smoke tests)
+_C.RL.PPO.CLIP_WIDTH = 512
+_C.RL.PPO.CLIP_LAYERS = 12
 _C.RL.PPO.policy_type = "rnn"  # rnn | smt | dialog | interactive
 _C.RL.PPO.use_external_memory = False
 _C.RL.PPO.use_state_memory = False
@@ -168,6 +172,14 @@ _C.QUERY_COUNT_EMB_SIZE = 32
 _C.AGENT_STEP_EMB_SIZE = 128
 _C.GOAL_CKPT = ""
 _C.DIALOG_CKPT = ""
+_C.QUERY_WITHIN_RADIUS = True
+_C.ALLOW_STOP = False
+# eval-time query strategy (ppo_trainer.py:1333-1356, 2036)
+_C.QS_METHOD = "ours"  # ours | random | uniform | jask
+_C.PREDICTION_INTERVAL = 10  # AV-WAN low-level steps per waypoint
+_C.HOW_MANY_QUERY = 3
+_C.LIMIT_QUERY = True
+_C.ENFORCED_GAP = 1
 
 # ---------------------------------------------------------------------------
 # Task config (habitat-style SIMULATOR/TASK/DATASET/ENVIRONMENT tree)
@@ -260,6 +272,27 @@ _TC.TASK.COLLISION = CN()
 _TC.TASK.COLLISION.TYPE = "Collision"
 _TC.TASK.ORACLE_ACTION_SENSOR = CN()
 _TC.TASK.ORACLE_ACTION_SENSOR.TYPE = "OracleActionSensor"
+
+# AV-WAN mapping sensors (av_wan/config/default.py:161-193)
+_TC.TASK.GEOMETRIC_MAP = CN()
+_TC.TASK.GEOMETRIC_MAP.TYPE = "GeometricMap"
+_TC.TASK.GEOMETRIC_MAP.MAP_SIZE = 200
+_TC.TASK.GEOMETRIC_MAP.INTERNAL_MAP_SIZE = 500
+_TC.TASK.GEOMETRIC_MAP.MAP_RESOLUTION = 0.1
+_TC.TASK.GEOMETRIC_MAP.NUM_CHANNEL = 2
+_TC.TASK.ACOUSTIC_MAP = CN()
+_TC.TASK.ACOUSTIC_MAP.TYPE = "AcousticMap"
+_TC.TASK.ACOUSTIC_MAP.MAP_SIZE = 20
+_TC.TASK.ACOUSTIC_MAP.MAP_RESOLUTION = 0.5
+_TC.TASK.ACOUSTIC_MAP.NUM_CHANNEL = 1
+_TC.TASK.ACOUSTIC_MAP.ENCODING = "average_intensity"
+_TC.TASK.ACTION_MAP = CN()
+_TC.TASK.ACTION_MAP.TYPE = "ActionMap"
+_TC.TASK.ACTION_MAP.MAP_SIZE = 9
+_TC.TASK.ACTION_MAP.MAP_RESOLUTION = 0.5
+_TC.TASK.ACTION_MAP.NUM_CHANNEL = 1
+_TC.TASK.INTENSITY = CN()
+_TC.TASK.INTENSITY.TYPE = "Intensity"
 
 _TC.TASK.EGOMAP_SENSOR = CN()
 _TC.TASK.EGOMAP_SENSOR.TYPE = "EgoMap"

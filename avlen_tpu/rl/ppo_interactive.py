@@ -1,0 +1,226 @@
+"""AVLEN updates: π_q PPO with rl_mask gating + uncertainty CE, and the π_l
+supervised (replay) update.
+
+Loss semantics from savi/ppo/ppo.py:
+* `update` (:157-289): clipped surrogate gated by rl_masks
+  (sum/Σrl_masks), clipped value loss (plain mean), entropy bonus, and the
+  auxiliary uncertainty cross-entropy with coefficient unct_coef=0.5.
+* `update_dialog` (:99-154): class-weighted CE of π_l logits against oracle
+  actions on o_mask steps (weights [0, ⅓, ⅓, ⅓] — STOP excluded), separate
+  Adam at lr 1e-5. In the REPLAY_STORE flow the training set is the queried
+  steps of the rollout (ddppo_trainer.py:907-944); here that is a weight
+  mask over the stored sequence instead of a copied replay buffer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from avlen_tpu.models.memory import SMTMemory, insert, reset_where
+from avlen_tpu.rl.ppo import PPOConfig
+
+DIALOG_CLASS_WEIGHTS = (0.0, 1.0 / 3, 1.0 / 3, 1.0 / 3)
+
+
+def evaluate_option_sequence(
+    evaluate_step: Callable,  # (obs, pa, mf, mv, qs, lqi, actions) -> (v, lp, ent, logits, unct, x)
+    traj_obs: Dict[str, jnp.ndarray],  # (T, Bm, ...) with __prev_action
+    feat_option: jnp.ndarray,  # (T, Bm, F) stored features (old params)
+    query_state: jnp.ndarray,
+    last_query_info: jnp.ndarray,
+    masks: jnp.ndarray,  # (T, Bm)
+    actions_option: jnp.ndarray,
+    initial_memory: SMTMemory,
+):
+    prev_actions = traj_obs["__prev_action"]
+    sensor_obs = {k: v for k, v in traj_obs.items() if not k.startswith("__")}
+
+    def step(mem, inp):
+        obs_t, pa_t, feat_t, qs_t, lqi_t, m_t, a_t = inp
+        mem = reset_where(mem, m_t == 0)
+        v, lp, ent, logits, unct, _ = evaluate_step(
+            obs_t, pa_t, mem.features, mem.valid, qs_t, lqi_t, a_t
+        )
+        mem = insert(mem, feat_t)
+        return mem, (v, lp, ent, unct)
+
+    _, (v, lp, ent, unct) = jax.lax.scan(
+        step,
+        initial_memory,
+        (sensor_obs, prev_actions, feat_option, query_state, last_query_info, masks, actions_option),
+    )
+    return v, lp, ent, unct
+
+
+def ppo_update_interactive(
+    params,
+    opt_state,
+    traj: Dict[str, jnp.ndarray],
+    advantages: jnp.ndarray,
+    returns: jnp.ndarray,
+    key: jax.Array,
+    evaluate_step: Callable,  # closure over params: see evaluate_option_sequence
+    optimizer: optax.GradientTransformation,
+    config: PPOConfig,
+    unct_coef: float = 0.5,
+    grad_reduce: Callable = lambda g: g,
+):
+    """One π_q PPO update over the interactive trajectory."""
+    t, b = traj["actions_option"].shape
+    num_mb = min(config.num_mini_batch, b)
+    mb_size = b // num_mb
+
+    adv = advantages
+    if config.use_normalized_advantage:
+        adv = (adv - adv.mean()) / (adv.std() + 1e-5)
+
+    def sel1(tree, idx):
+        return jax.tree.map(lambda v: jnp.take(v, idx, axis=1), tree)
+
+    def sel0(tree, idx):
+        return jax.tree.map(lambda v: jnp.take(v, idx, axis=0), tree)
+
+    def loss_fn(p, idx):
+        obs = sel1(traj["obs"], idx)
+        v, lp, ent, unct = evaluate_option_sequence(
+            lambda *a: evaluate_step(p, *a),
+            obs,
+            jnp.take(traj["feat_option"], idx, axis=1),
+            jnp.take(traj["query_state"], idx, axis=1),
+            jnp.take(traj["last_query_info"], idx, axis=1),
+            jnp.take(traj["masks"], idx, axis=1),
+            jnp.take(traj["actions_option"], idx, axis=1),
+            sel0(traj["initial_memories"][1], idx),
+        )
+        old_lp = jnp.take(traj["log_probs_option"], idx, axis=1)
+        old_v = jnp.take(traj["values_option"], idx, axis=1)
+        rl = jnp.take(traj["rl_mask"], idx, axis=1)
+        a_t = jnp.take(adv, idx, axis=1)
+        r_t = jnp.take(returns, idx, axis=1)
+        gt = jnp.take(traj["ucnt_gt"], idx, axis=1)
+
+        ratio = jnp.exp(lp - old_lp)
+        surr1 = ratio * a_t * rl
+        surr2 = jnp.clip(ratio, 1 - config.clip_param, 1 + config.clip_param) * a_t * rl
+        action_loss = -jnp.minimum(surr1, surr2).sum() / jnp.maximum(rl.sum(), 1.0)
+
+        v_clip = old_v + jnp.clip(v - old_v, -config.clip_param, config.clip_param)
+        value_loss = 0.5 * jnp.maximum((v - r_t) ** 2, (v_clip - r_t) ** 2).mean()
+
+        ent_mean = ent.mean()
+        unct_loss = optax.softmax_cross_entropy_with_integer_labels(
+            unct.reshape(-1, 2), gt.reshape(-1)
+        ).mean()
+        total = (
+            value_loss * config.value_loss_coef
+            + action_loss
+            - ent_mean * config.entropy_coef
+            + unct_coef * unct_loss
+        )
+        return total, {
+            "value_loss": value_loss,
+            "action_loss": action_loss,
+            "entropy": ent_mean,
+            "unct_loss": unct_loss,
+        }
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    stats = {"value_loss": 0.0, "action_loss": 0.0, "entropy": 0.0, "unct_loss": 0.0}
+    for e in range(config.ppo_epoch):
+        key, sub = jax.random.split(key)
+        perm = jax.random.permutation(sub, b)
+        for m in range(num_mb):
+            idx = jax.lax.dynamic_slice_in_dim(perm, m * mb_size, mb_size)
+            (loss, aux), grads = grad_fn(params, idx)
+            grads = grad_reduce(grads)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            stats = {k: stats[k] + aux[k] for k in stats}
+    n = config.ppo_epoch * num_mb
+    return params, opt_state, {k: v / n for k, v in stats.items()}
+
+
+# ---------------------------------------------------------------------------
+def evaluate_dialog_sequence(
+    evaluate_step: Callable,  # (obs, pa, mf, mv, smf, smv, dialog, step, actions) -> (v, lp, ent, logits, x, x_att)
+    traj_obs: Dict[str, jnp.ndarray],
+    feat_vln: jnp.ndarray,
+    feat_vln_dialog: jnp.ndarray,
+    dialog: jnp.ndarray,  # (T, Bm, 77)
+    agent_step: jnp.ndarray,  # (T, Bm)
+    masks_vln: jnp.ndarray,  # (T, Bm)
+    actions: jnp.ndarray,
+    initial_mem_vln: SMTMemory,
+    initial_mem_vln_dialog: SMTMemory,
+):
+    prev_actions = traj_obs["__prev_action"]
+    sensor_obs = {k: v for k, v in traj_obs.items() if not k.startswith("__")}
+
+    def step(carry, inp):
+        mem, smem = carry
+        obs_t, pa_t, f_t, fd_t, d_t, st_t, m_t, a_t = inp
+        mem = reset_where(mem, m_t == 0)
+        smem = reset_where(smem, m_t == 0)
+        v, lp, ent, logits, _, x_att = evaluate_step(
+            obs_t, pa_t, mem.features, mem.valid, smem.features, smem.valid, d_t, st_t, a_t
+        )
+        mem = insert(mem, f_t)
+        smem = insert(smem, fd_t)
+        return (mem, smem), logits
+
+    _, logits = jax.lax.scan(
+        step,
+        (initial_mem_vln, initial_mem_vln_dialog),
+        (sensor_obs, prev_actions, feat_vln, feat_vln_dialog, dialog, agent_step, masks_vln, actions),
+    )
+    return logits
+
+
+def dialog_supervised_update(
+    params,
+    opt_state,
+    traj: Dict[str, jnp.ndarray],
+    evaluate_step: Callable,  # closure over params
+    optimizer: optax.GradientTransformation,
+    replay_only: bool = True,
+    grad_reduce: Callable = lambda g: g,
+):
+    """π_l class-weighted CE against oracle actions (update_dialog,
+    savi/ppo/ppo.py:99-154). ``replay_only`` restricts to queried steps (the
+    REPLAY_STORE flow); DIALOG_TRAINING uses all o_mask steps."""
+    weights_tbl = jnp.asarray(DIALOG_CLASS_WEIGHTS)
+
+    def loss_fn(p):
+        logits = evaluate_dialog_sequence(
+            lambda *a: evaluate_step(p, *a),
+            traj["obs"],
+            traj["feat_vln"],
+            traj["feat_vln_dialog"],
+            traj["dialog"],
+            traj["agent_step"],
+            traj["masks_vln"],
+            traj["o_action"],
+            traj["initial_memories"][2],
+            traj["initial_memories"][3],
+        )
+        o_action = traj["o_action"].astype(jnp.int32)
+        sample_w = traj["o_mask"]
+        if replay_only:
+            sample_w = sample_w * traj["queried"].astype(jnp.float32)
+        class_w = weights_tbl[o_action]
+        w = sample_w * class_w
+        ce = optax.softmax_cross_entropy_with_integer_labels(
+            logits.reshape(-1, logits.shape[-1]), o_action.reshape(-1)
+        ).reshape(o_action.shape)
+        return (ce * w).sum() / jnp.maximum(w.sum(), 1.0)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    grads = grad_reduce(grads)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss

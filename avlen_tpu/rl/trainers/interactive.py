@@ -1,0 +1,449 @@
+"""AVLEN interactive trainer (registered "ddppo").
+
+Capability match for DDPPOTrainer (ss_baselines/savi/ddppo/algo/
+ddppo_trainer.py:62-1200) across its policy types:
+
+* ``policy_type: dialog`` — π_l pretraining: oracle-driven rollouts with
+  per-window instructions, class-weighted CE updates
+  (_setup_actor_critic_agent, ddppo_trainer.py:181-298).
+* ``policy_type: interactive`` — full AVLEN: π_g (AudioNavSMTPolicy, frozen
+  from GOAL_CKPT), π_l (AudioNavDialogPolicy from DIALOG_CKPT), π_q
+  (AudioNavOptionPolicy) trained by rl_mask-gated PPO + uncertainty CE,
+  with interleaved π_l replay updates when REPLAY_STORE
+  (_setup_actor_critic_agent_interactive, ddppo_trainer.py:301-513;
+  train(), :515-1200).
+
+TPU-native: the whole interactive rollout runs as one scan with a
+precomputed oracle-instruction token bank (rl/rollout_interactive.py) — no
+TCPStore, no DDP hooks, no straggler preemption (SPMD lockstep); multi-chip
+scale-out uses the same jits under shard_map (parallel/ddppo.py pattern).
+Query-behavior stats (query count / ratio / 1st & 4th query step,
+per-policy reward/step splits — ddppo_trainer.py:1099-1158) are aggregated
+from the stacked trajectory.
+"""
+
+from __future__ import annotations
+
+import collections
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from avlen_tpu.core.registry import registry
+from avlen_tpu.dialog.instruction_bank import build_instruction_bank_fast
+from avlen_tpu.models.belief_predictor import (
+    BeliefPredictorNet,
+    init_belief_state,
+    update_beliefs,
+)
+from avlen_tpu.models.dialog_policy import AudioNavDialogNet, DialogPolicy
+from avlen_tpu.models.memory import init_memory
+from avlen_tpu.models.option_policy import AudioNavOptionNet, OptionPolicy
+from avlen_tpu.models.smt_policy import AudioNavSMTNet, SMTPolicy
+from avlen_tpu.rl.gae import compute_gae
+from avlen_tpu.rl.ppo import make_optimizer
+from avlen_tpu.rl.ppo_interactive import (
+    dialog_supervised_update,
+    ppo_update_interactive,
+)
+from avlen_tpu.rl.rollout_interactive import (
+    InteractiveCarry,
+    InteractiveConfig,
+    InteractiveFns,
+    collect_rollout_dialog_pretrain,
+    collect_rollout_interactive,
+    init_query_track,
+    sinusoidal_pe,
+)
+from avlen_tpu.rl.trainers.avnav import ppo_config_from
+from avlen_tpu.rl.trainers.base import BaseRLTrainer
+from avlen_tpu.sim.builder import construct_batched_env
+from avlen_tpu.utils.checkpoint import save_checkpoint
+from avlen_tpu.utils.logging import logger
+from avlen_tpu.utils.tb import TensorboardWriter
+
+
+@registry.register_trainer(name="ddppo")
+class InteractiveDDPPOTrainer(BaseRLTrainer):
+    def __init__(self, config):
+        super().__init__(config)
+        self._setup()
+
+    # ------------------------------------------------------------------
+    def _setup(self, num_envs: Optional[int] = None):
+        cfg = self.config
+        self.ppo_cfg = ppo_config_from(cfg)
+        self.num_steps = cfg.RL.PPO.num_steps
+        self.policy_type = cfg.RL.PPO.policy_type
+        smt_cfg = cfg.RL.PPO.SCENE_MEMORY_TRANSFORMER
+        bp_cfg = cfg.RL.PPO.BELIEF_PREDICTOR
+
+        self.env = construct_batched_env(cfg, num_envs=num_envs, with_depth=True, with_rgb=True)
+        b = self.env.num_envs
+        spec_hw = self.env.spec_config.out_shape[:2]
+        num_actions = len(cfg.TASK_CONFIG.TASK.POSSIBLE_ACTIONS)
+        d_model = smt_cfg.hidden_size
+        key = jax.random.key(cfg.SEED)
+
+        # instruction bank from the scene graphs (template speaker)
+        self.instr_bank = jnp.asarray(build_instruction_bank_fast(self.env.scene_tables))
+        self.pe_table = jnp.asarray(sinusoidal_pe(151, cfg.QUERY_COUNT_EMB_SIZE))
+
+        common = dict(
+            spectrogram_hw=spec_hw,
+            num_actions=num_actions,
+            d_model=d_model,
+            nhead=smt_cfg.nhead,
+            use_rgb="rgb" in self.env.config.sensors,
+            use_depth="depth" in self.env.config.sensors,
+            use_label_belief=bp_cfg.use_label_belief,
+            use_location_belief=bp_cfg.use_location_belief,
+            pretraining=smt_cfg.pretraining,
+        )
+        self.goal_policy = SMTPolicy(net=AudioNavSMTNet(use_belief_as_goal=True, **common))
+        self.dialog_policy = DialogPolicy(
+            net=AudioNavDialogNet(
+                clip_width=cfg.RL.PPO.CLIP_WIDTH, clip_layers=cfg.RL.PPO.CLIP_LAYERS, **common
+            )
+        )
+        self.option_policy = OptionPolicy(
+            net=AudioNavOptionNet(query_count_emb_size=cfg.QUERY_COUNT_EMB_SIZE, **common)
+        )
+
+        state, obs = self.env.reset()
+        if "category_belief" not in obs:
+            obs["category_belief"] = jnp.zeros((b, 21), jnp.float32)
+            obs["location_belief"] = jnp.zeros((b, 2), jnp.float32)
+        self.memory_size = smt_cfg.memory_size
+        self.feat_goal_size = self.goal_policy.net.feature_size
+        self.feat_option_size = self.option_policy.net.feature_size
+        prev_a = jnp.zeros((b,), jnp.int32)
+        mem_g = init_memory(b, self.memory_size, self.feat_goal_size)
+        mem_o = init_memory(b, self.memory_size, self.feat_option_size)
+        mem_v = init_memory(b, cfg.NUM_DIALOG_STEPS, self.feat_goal_size)
+        mem_vd = init_memory(b, cfg.NUM_DIALOG_STEPS, d_model)
+        zeros_qs = jnp.zeros((b, cfg.QUERY_COUNT_EMB_SIZE))
+        dialog0 = jnp.zeros((b, 77), jnp.int32)
+        step0 = jnp.zeros((b,), jnp.int32)
+
+        self.params_goal = self.goal_policy.init(
+            key, obs, prev_a, mem_g.features, mem_g.valid, key, method=SMTPolicy.act
+        )
+        self.params_dialog = self.dialog_policy.init(
+            jax.random.fold_in(key, 1), obs, prev_a, mem_v.features, mem_v.valid,
+            mem_vd.features, mem_vd.valid, dialog0, step0, key, method=DialogPolicy.act,
+        )
+        self.params_option = self.option_policy.init(
+            jax.random.fold_in(key, 2), obs, prev_a, mem_o.features, mem_o.valid,
+            zeros_qs, zeros_qs, key, method=OptionPolicy.act,
+        )
+
+        # load pretrained towers (ddppo_trainer.py:244-280, 301-513)
+        if cfg.GOAL_CKPT and os.path.exists(cfg.GOAL_CKPT):
+            ckpt = self.load_checkpoint(cfg.GOAL_CKPT)
+            self.params_goal = jax.tree.map(jnp.asarray, ckpt["state_dict"])
+            logger.info(f"loaded goal policy from {cfg.GOAL_CKPT}")
+        if cfg.DIALOG_CKPT and os.path.exists(cfg.DIALOG_CKPT):
+            ckpt = self.load_checkpoint(cfg.DIALOG_CKPT)
+            self.params_dialog = jax.tree.map(jnp.asarray, ckpt["state_dict"])
+            logger.info(f"loaded dialog policy from {cfg.DIALOG_CKPT}")
+
+        self.use_belief_predictor = cfg.RL.PPO.use_belief_predictor
+        self.belief_net = None
+        self.belief_params = None
+        if self.use_belief_predictor:
+            self.belief_net = BeliefPredictorNet(
+                predict_label=bp_cfg.use_label_belief,
+                predict_location=bp_cfg.use_location_belief,
+                has_distractor_sound=self.env.config.has_distractor,
+            )
+            self.belief_params = self.belief_net.init(
+                jax.random.fold_in(key, 3), obs["spectrogram"], obs.get("category")
+            )
+            if bp_cfg.pretrained_path and os.path.exists(bp_cfg.pretrained_path):
+                ckpt = self.load_checkpoint(bp_cfg.pretrained_path)
+                self.belief_params = jax.tree.map(jnp.asarray, ckpt["state_dict"])
+
+        # optimizers: π_q PPO Adam; π_l Adam lr 1e-5 (ppo.py:62-63)
+        self.optimizer_q = make_optimizer(self.ppo_cfg)
+        self.opt_state_q = self.optimizer_q.init(self.params_option)
+        self.optimizer_l = optax.adam(1e-5, eps=self.ppo_cfg.eps)
+        self.opt_state_l = self.optimizer_l.init(self.params_dialog)
+
+        self.interactive_cfg = InteractiveConfig(
+            num_dialog_steps=cfg.NUM_DIALOG_STEPS,
+            num_total_query=cfg.RL.NUM_TOTAL_QUERY,
+            consecutive_reward=cfg.RL.CONSECUTIVE_REWARD,
+            query_within_radius=cfg.QUERY_WITHIN_RADIUS,
+            oracle_when_queried=cfg.ORACLE_WHEN_QUERIED,
+            allow_stop=cfg.ALLOW_STOP,
+        )
+
+        self.carry = InteractiveCarry(
+            env_state=state,
+            obs=obs,
+            prev_action=prev_a,
+            masks=jnp.zeros((b,), jnp.float32),
+            masks_vln=jnp.zeros((b,), jnp.float32),
+            mem_goal=mem_g,
+            mem_option=mem_o,
+            mem_vln=mem_v,
+            mem_vln_dialog=mem_vd,
+            belief=init_belief_state(b),
+            track=init_query_track(b),
+            key=key,
+        )
+        self._build_jits()
+
+    # ------------------------------------------------------------------
+    def _build_jits(self):
+        cfg = self.config
+        env = self.env
+        goal_p, dialog_p, option_p = self.goal_policy, self.dialog_policy, self.option_policy
+        belief_net = self.belief_net
+        bp_cfg = cfg.RL.PPO.BELIEF_PREDICTOR
+        icfg = self.interactive_cfg
+        pe_table, instr_bank = self.pe_table, self.instr_bank
+        num_steps = self.num_steps
+
+        def make_fns(pg, pd, po, pb, deterministic=False):
+            def act_option(obs, pa, mf, mv, qs, lqi, key):
+                return option_p.apply(po, obs, pa, mf, mv, qs, lqi, key, deterministic, method=OptionPolicy.act)
+
+            def act_goal(obs, pa, mf, mv, key):
+                return goal_p.apply(pg, obs, pa, mf, mv, key, deterministic, method=SMTPolicy.act)
+
+            def act_dialog(obs, pa, mf, mv, smf, smv, dialog, step, key):
+                return dialog_p.apply(
+                    pd, obs, pa, mf, mv, smf, smv, dialog, step, key, deterministic, method=DialogPolicy.act
+                )
+
+            def value_option(obs, pa, mf, mv, qs, lqi):
+                _, _, v, _, _, _ = option_p.apply(
+                    po, obs, pa, mf, mv, qs, lqi, jax.random.key(0), True, method=OptionPolicy.act
+                )
+                return v
+
+            belief_fn = None
+            if belief_net is not None:
+                def belief_fn(state, obs, new_ep):
+                    return update_beliefs(
+                        pb, belief_net, state, obs, new_ep,
+                        weighting_factor=bp_cfg.weighting_factor,
+                        current_pred_only=bp_cfg.current_pred_only,
+                    )
+
+            return InteractiveFns(
+                act_option=act_option,
+                act_goal=act_goal,
+                act_dialog=act_dialog,
+                value_option=value_option,
+                oracle_action=env.oracle_action,
+                env_step=env._step_impl,
+                belief_fn=belief_fn,
+            )
+
+        def collect(pg, pd, po, pb, carry, deterministic=False):
+            import dataclasses as _dc
+
+            fns = make_fns(pg, pd, po, pb, deterministic)
+            c = icfg if not deterministic else _dc.replace(
+                icfg, qs_method=cfg.QS_METHOD, limit_query=cfg.LIMIT_QUERY,
+                how_many_query=cfg.HOW_MANY_QUERY, enforced_gap=cfg.ENFORCED_GAP,
+            )
+            return collect_rollout_interactive(fns, carry, instr_bank, pe_table, c, num_steps)
+
+        def update_q(po, opt_state, traj, key):
+            adv, ret = compute_gae(
+                traj["rewards"], traj["values_option"], traj["bootstrap_value"],
+                1.0 - traj["dones"].astype(jnp.float32), self.ppo_cfg.gamma, self.ppo_cfg.tau,
+            )
+
+            def evaluate_step(p, obs, pa, mf, mv, qs, lqi, actions):
+                return option_p.apply(p, obs, pa, mf, mv, qs, lqi, actions, method=OptionPolicy.evaluate_step)
+
+            return ppo_update_interactive(
+                po, opt_state, traj, adv, ret, key, evaluate_step,
+                self.optimizer_q, self.ppo_cfg, unct_coef=cfg.RL.PPO.unct_coef,
+            )
+
+        def update_l(pd, opt_state, traj, replay_only=True):
+            def evaluate_step(p, obs, pa, mf, mv, smf, smv, dialog, step, actions):
+                return dialog_p.apply(
+                    p, obs, pa, mf, mv, smf, smv, dialog, step, actions,
+                    method=DialogPolicy.evaluate_step,
+                )
+
+            return dialog_supervised_update(
+                pd, opt_state, traj, evaluate_step, self.optimizer_l, replay_only=replay_only
+            )
+
+        def collect_dialog(pd, pb, carry):
+            fns = make_fns(self.params_goal, pd, self.params_option, pb)
+            return collect_rollout_dialog_pretrain(
+                fns.act_dialog, env._step_impl_noquery, env.oracle_action, fns.belief_fn,
+                carry, instr_bank, cfg.NUM_DIALOG_STEPS, num_steps,
+            )
+
+        self._collect = jax.jit(collect, static_argnames=("deterministic",))
+        self._update_q = jax.jit(update_q)
+        self._update_l = jax.jit(update_l, static_argnames=("replay_only",))
+        self._collect_dialog = jax.jit(collect_dialog)
+
+    # ------------------------------------------------------------------
+    def train(self) -> None:
+        if self.policy_type == "dialog" or self.config.DIALOG_TRAINING:
+            self._train_dialog()
+        else:
+            self._train_interactive()
+
+    def _train_interactive(self) -> None:
+        cfg = self.config
+        os.makedirs(cfg.CHECKPOINT_FOLDER, exist_ok=True)
+        os.makedirs(cfg.TENSORBOARD_DIR, exist_ok=True)
+        window = collections.deque(maxlen=cfg.RL.PPO.reward_window_size)
+        reward_acc = np.zeros((self.env.num_envs,), np.float64)
+        key = jax.random.key(cfg.SEED + 1)
+        t_start = time.time()
+        ckpt_count = 0
+
+        with TensorboardWriter(cfg.TENSORBOARD_DIR) as writer:
+            for update in range(cfg.NUM_UPDATES):
+                self.carry, traj = self._collect(
+                    self.params_goal, self.params_dialog, self.params_option,
+                    self.belief_params, self.carry,
+                )
+                key, sub = jax.random.split(key)
+                self.params_option, self.opt_state_q, stats = self._update_q(
+                    self.params_option, self.opt_state_q, traj, sub
+                )
+                if cfg.REPLAY_STORE:
+                    self.params_dialog, self.opt_state_l, dialog_loss = self._update_l(
+                        self.params_dialog, self.opt_state_l, traj
+                    )
+                    writer.add_scalar("Policy/dialog_loss", float(dialog_loss), self.num_steps_done)
+                jax.block_until_ready(stats["value_loss"])
+
+                rewards = np.asarray(traj["rewards"])
+                dones = np.asarray(traj["dones"])
+                qcount = np.asarray(traj["query_count"])
+                metrics = {k: np.asarray(v) for k, v in traj["metrics"].items()}
+                for t_i in range(rewards.shape[0]):
+                    reward_acc += rewards[t_i]
+                    for b_i in np.nonzero(dones[t_i])[0]:
+                        window.append({
+                            "reward": reward_acc[b_i],
+                            "query_count": qcount[t_i, b_i],
+                            **{k: metrics[k][t_i, b_i] for k in metrics},
+                        })
+                        reward_acc[b_i] = 0.0
+                self.num_steps_done += rewards.size
+                self.num_updates_done += 1
+
+                if update % cfg.LOG_INTERVAL == 0:
+                    fps = self.num_steps_done / max(time.time() - t_start, 1e-6)
+                    logger.info(f"interactive update {update} fps {fps:.1f} frames {self.num_steps_done}")
+                    if window:
+                        means = {k: float(np.mean([w[k] for w in window])) for k in window[0]}
+                        logger.info(
+                            "window reward {:.3f} success {:.3f} spl {:.3f} queries {:.2f}".format(
+                                means.get("reward", 0), means.get("success", 0),
+                                means.get("spl", 0), means.get("query_count", 0),
+                            )
+                        )
+                        for k, v in means.items():
+                            tag = "Debug" if "query" in k else "Metrics"
+                            writer.add_scalar(f"{tag}/{k}", v, self.num_steps_done)
+                    for k, v in stats.items():
+                        writer.add_scalar(f"Policy/{k}", float(v), self.num_steps_done)
+
+                interval = max(cfg.CHECKPOINT_INTERVAL // max(self.num_steps * self.env.num_envs, 1), 1)
+                if (update + 1) % interval == 0 or update + 1 == cfg.NUM_UPDATES:
+                    self.save_checkpoint(f"ckpt.{ckpt_count}.pth")
+                    ckpt_count += 1
+
+    def _train_dialog(self) -> None:
+        cfg = self.config
+        os.makedirs(cfg.CHECKPOINT_FOLDER, exist_ok=True)
+        os.makedirs(cfg.TENSORBOARD_DIR, exist_ok=True)
+        t_start = time.time()
+        ckpt_count = 0
+        with TensorboardWriter(cfg.TENSORBOARD_DIR) as writer:
+            for update in range(cfg.NUM_UPDATES_DIALOG):
+                self.carry, traj = self._collect_dialog(
+                    self.params_dialog, self.belief_params, self.carry
+                )
+                self.params_dialog, self.opt_state_l, loss = self._update_l(
+                    self.params_dialog, self.opt_state_l, traj, replay_only=False
+                )
+                jax.block_until_ready(loss)
+                self.num_steps_done += int(np.prod(np.asarray(traj["o_action"]).shape))
+                self.num_updates_done += 1
+                if update % cfg.LOG_INTERVAL == 0:
+                    fps = self.num_steps_done / max(time.time() - t_start, 1e-6)
+                    logger.info(f"dialog update {update} loss {float(loss):.4f} fps {fps:.1f}")
+                    writer.add_scalar("Policy/dialog_loss", float(loss), self.num_steps_done)
+                if (update + 1) % max(cfg.CHECKPOINT_INTERVAL_DIALOG, 1) == 0 or update + 1 == cfg.NUM_UPDATES_DIALOG:
+                    save_checkpoint(
+                        os.path.join(cfg.CHECKPOINT_FOLDER, "vln"),
+                        f"ckpt.{ckpt_count}.pth",
+                        {"state_dict": self.params_dialog, "config": cfg.to_dict()},
+                    )
+                    ckpt_count += 1
+
+    def save_checkpoint(self, name: str) -> None:
+        payload = {
+            "state_dict": self.params_option,
+            "state_dict_goal": self.params_goal,
+            "state_dict_vln": self.params_dialog,
+            "config": self.config.to_dict(),
+            "extra_state": {"step": self.num_steps_done},
+        }
+        if self.belief_params is not None:
+            payload["belief_predictor"] = self.belief_params
+        save_checkpoint(self.config.CHECKPOINT_FOLDER, name, payload)
+
+    # ------------------------------------------------------------------
+    def _eval_checkpoint(self, checkpoint_path: str, writer, checkpoint_index: int = 0) -> Dict[str, float]:
+        """Interactive eval with query strategies + budget
+        (ppo_trainer.py:1313-2761)."""
+        cfg = self.config
+        ckpt = self.load_checkpoint(checkpoint_path)
+        self.reconfigure_from_checkpoint(ckpt)
+        p_opt = jax.tree.map(jnp.asarray, ckpt["state_dict"])
+        p_goal = jax.tree.map(jnp.asarray, ckpt.get("state_dict_goal", self.params_goal))
+        p_vln = jax.tree.map(jnp.asarray, ckpt.get("state_dict_vln", self.params_dialog))
+        p_bel = (
+            jax.tree.map(jnp.asarray, ckpt["belief_predictor"])
+            if "belief_predictor" in ckpt and self.use_belief_predictor
+            else self.belief_params
+        )
+        count = cfg.TEST_EPISODE_COUNT
+        stats: Dict[str, list] = collections.defaultdict(list)
+        episodes = 0
+        carry = self.carry
+        while episodes < count:
+            carry, traj = self._collect(p_goal, p_vln, p_opt, p_bel, carry, deterministic=True)
+            dones = np.asarray(traj["dones"])
+            metrics = {k: np.asarray(v) for k, v in traj["metrics"].items()}
+            qcount = np.asarray(traj["query_count"])
+            for t, bi in zip(*np.nonzero(dones)):
+                if episodes >= count:
+                    break
+                for k in metrics:
+                    stats[k].append(metrics[k][t, bi])
+                stats["query_count"].append(qcount[t, bi])
+                episodes += 1
+        means = {k: float(np.mean(v)) for k, v in stats.items()}
+        logger.info(
+            f"interactive eval ckpt {checkpoint_index}: "
+            + ", ".join(f"{k}={v:.3f}" for k, v in means.items())
+        )
+        for k, v in means.items():
+            writer.add_scalar(f"val/{k}", v, checkpoint_index)
+        return means

@@ -102,4 +102,6 @@ def construct_batched_env(
         reward=reward_config_from(config),
         has_distractor=tc.SIMULATOR.AUDIO.HAS_DISTRACTOR_SOUND,
     )
-    return BatchedAudioNavEnv(bank, packed, env_cfg)
+    env = BatchedAudioNavEnv(bank, packed, env_cfg)
+    env.scene_tables = tables  # host-side per-scene tables (speaker/instruction bank)
+    return env
