@@ -124,6 +124,13 @@ class AVNavTrainer(BaseRLTrainer):
 
     # ------------------------------------------------------------------
     def train(self) -> None:
+        from avlen_tpu.utils.preemption import (
+            register_signal_handlers,
+            requeue_job,
+            save_interrupted_state,
+            should_exit,
+        )
+
         cfg = self.config
         os.makedirs(cfg.CHECKPOINT_FOLDER, exist_ok=True)
         os.makedirs(cfg.TENSORBOARD_DIR, exist_ok=True)
@@ -133,6 +140,15 @@ class AVNavTrainer(BaseRLTrainer):
         t_start = time.time()
         env_time = pth_time = 0.0
         ckpt_count = 0
+
+        register_signal_handlers()
+        resume = self.try_to_resume()
+        if resume is not None:
+            self.params = jax.tree.map(jnp.asarray, resume["state_dict"])
+            if "opt_state" in resume:
+                self.opt_state = jax.tree.map(jnp.asarray, resume["opt_state"])
+            self.num_steps_done = int(resume.get("extra_state", {}).get("step", 0))
+            ckpt_count = int(resume.get("_resume_index", 0))
 
         with TensorboardWriter(cfg.TENSORBOARD_DIR) as writer:
             for update in range(cfg.NUM_UPDATES):
@@ -189,12 +205,25 @@ class AVNavTrainer(BaseRLTrainer):
                     self.save_checkpoint(f"ckpt.{ckpt_count}.pth")
                     ckpt_count += 1
 
+                if should_exit():
+                    save_interrupted_state(
+                        {
+                            "state_dict": self.params,
+                            "opt_state": self.opt_state,
+                            "config": cfg.to_dict(),
+                            "extra_state": {"step": self.num_steps_done},
+                        }
+                    )
+                    requeue_job()
+                    return
+
     def save_checkpoint(self, name: str) -> None:
         save_checkpoint(
             self.config.CHECKPOINT_FOLDER,
             name,
             {
                 "state_dict": self.params,
+                "opt_state": self.opt_state,
                 "config": self.config.to_dict(),
                 "extra_state": {"step": self.num_steps_done},
             },

@@ -94,3 +94,23 @@ class BaseRLTrainer:
 
     def percent_done(self) -> float:
         return self.num_updates_done / max(self.config.NUM_UPDATES, 1)
+
+    def try_to_resume(self) -> Optional[Dict[str, Any]]:
+        """Resume from the newest checkpoint when RESUME_CHECKPOINT is set
+        (try_to_resume_checkpoint, savi/ppo/ppo_trainer.py:238-275 +
+        interrupted-state restore, ddppo_trainer.py:796-799)."""
+        if not self.config.RESUME_CHECKPOINT:
+            return None
+        from avlen_tpu.utils.preemption import load_interrupted_state
+
+        interrupted = load_interrupted_state()
+        if interrupted is not None:
+            logger.info("resuming from interrupted state")
+            return interrupted
+        ckpts = list_checkpoints(self.config.CHECKPOINT_FOLDER)
+        if not ckpts:
+            return None
+        logger.info(f"resuming from {ckpts[-1]}")
+        ckpt = load_checkpoint(ckpts[-1])
+        ckpt["_resume_index"] = len(ckpts)
+        return ckpt

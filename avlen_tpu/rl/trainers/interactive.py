@@ -312,6 +312,16 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
         t_start = time.time()
         ckpt_count = 0
 
+        resume = self.try_to_resume()
+        if resume is not None:
+            self.params_option = jax.tree.map(jnp.asarray, resume["state_dict"])
+            if "state_dict_goal" in resume:
+                self.params_goal = jax.tree.map(jnp.asarray, resume["state_dict_goal"])
+            if "state_dict_vln" in resume:
+                self.params_dialog = jax.tree.map(jnp.asarray, resume["state_dict_vln"])
+            self.num_steps_done = int(resume.get("extra_state", {}).get("step", 0))
+            ckpt_count = int(resume.get("_resume_index", 0))
+
         with TensorboardWriter(cfg.TENSORBOARD_DIR) as writer:
             for update in range(cfg.NUM_UPDATES):
                 self.carry, traj = self._collect(

@@ -192,6 +192,14 @@ class SaviTrainer(BaseRLTrainer):
         t_start = time.time()
         ckpt_count = 0
 
+        resume = self.try_to_resume()
+        if resume is not None:
+            self.params = jax.tree.map(jnp.asarray, resume["state_dict"])
+            if "belief_predictor" in resume and self.belief_params is not None:
+                self.belief_params = jax.tree.map(jnp.asarray, resume["belief_predictor"])
+            self.num_steps_done = int(resume.get("extra_state", {}).get("step", 0))
+            ckpt_count = int(resume.get("_resume_index", 0))
+
         with TensorboardWriter(cfg.TENSORBOARD_DIR) as writer:
             for update in range(cfg.NUM_UPDATES):
                 self.carry, batch = self._collect(self.params, self.belief_params, self.carry)

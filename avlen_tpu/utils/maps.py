@@ -1,0 +1,74 @@
+"""Top-down map rendering for videos and debugging.
+
+Capability match for habitat's visualization stack (habitat/utils/
+visualizations/maps.py:439 + fog_of_war.py and plot_top_down_map,
+ss_baselines/common/utils.py:239-288): draws the scene graph, the agent
+pose, the goal, and the visited trail as an RGB image.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+AGENT_COLOR = (40, 80, 240)
+GOAL_COLOR = (40, 200, 60)
+NODE_COLOR = (190, 190, 190)
+TRAIL_COLOR = (250, 160, 60)
+BG_COLOR = (255, 255, 255)
+
+
+def _to_px(positions: np.ndarray, size: int, pad: int = 10) -> Tuple[np.ndarray, float, np.ndarray]:
+    xz = positions[:, [0, 2]]
+    lo = xz.min(axis=0)
+    hi = xz.max(axis=0)
+    scale = (size - 2 * pad) / max(float((hi - lo).max()), 1e-6)
+    px = ((xz - lo) * scale + pad).astype(np.int32)
+    return px, scale, lo
+
+
+def _disk(img: np.ndarray, center, radius: int, color) -> None:
+    x0, y0 = int(center[0]), int(center[1])
+    h, w = img.shape[:2]
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            if dx * dx + dy * dy <= radius * radius:
+                x, y = x0 + dx, y0 + dy
+                if 0 <= x < w and 0 <= y < h:
+                    img[y, x] = color
+
+
+def draw_top_down_map(
+    positions: np.ndarray,
+    edges: np.ndarray,
+    agent_node: int,
+    agent_rot: int,
+    goal_node: int,
+    trail: Optional[Sequence[int]] = None,
+    size: int = 256,
+) -> np.ndarray:
+    """(size, size, 3) uint8 top-down view of the scene graph state."""
+    img = np.full((size, size, 3), BG_COLOR, np.uint8)
+    px, scale, _ = _to_px(positions, size)
+
+    for a, b in edges:
+        pa, pb = px[a], px[b]
+        n = max(abs(int(pb[0]) - int(pa[0])), abs(int(pb[1]) - int(pa[1])), 1)
+        for t in range(n + 1):
+            x = int(round(pa[0] + (pb[0] - pa[0]) * t / n))
+            y = int(round(pa[1] + (pb[1] - pa[1]) * t / n))
+            img[y, x] = NODE_COLOR
+    for p in px:
+        _disk(img, p, 2, NODE_COLOR)
+    if trail:
+        for node in trail:
+            _disk(img, px[node], 2, TRAIL_COLOR)
+    _disk(img, px[goal_node], 4, GOAL_COLOR)
+    _disk(img, px[agent_node], 4, AGENT_COLOR)
+    # heading tick: rotation_angle = rot*90 CCW, forward in -Z at rot 0
+    th = np.deg2rad(agent_rot * 90)
+    fwd = np.array([-np.sin(th), -np.cos(th)])  # (x, z)
+    tip = px[agent_node] + (fwd * 8).astype(np.int32)
+    _disk(img, tip, 1, AGENT_COLOR)
+    return img
