@@ -170,8 +170,8 @@ _C.DIALOG_TRAINING_WITHOUT_DIALOG = False
 _C.NUM_DIALOG_STEPS = 5
 _C.QUERY_COUNT_EMB_SIZE = 32
 _C.AGENT_STEP_EMB_SIZE = 128
-_C.GOAL_CKPT = ""
-_C.DIALOG_CKPT = ""
+_C.GOAL_CKPT_PATH = ""  # frozen π_g weights (savi_interactive_1st_stage.yaml:18)
+_C.VLN_CKPT_PATH = ""  # pretrained π_l weights (savi_interactive_1st_stage.yaml:14)
 _C.QUERY_WITHIN_RADIUS = True
 _C.ALLOW_STOP = False
 # eval-time query strategy (ppo_trainer.py:1333-1356, 2036)
@@ -240,6 +240,11 @@ _TC.SIMULATOR.AUDIO.HAS_DISTRACTOR_SOUND = False
 _TC.SIMULATOR.AUDIO.DISTRACTOR_SOUND_DIR = "data/sounds/1s_all_distractor"
 # TPU-native: cap on padded RIR length in samples (bucketed padding)
 _TC.SIMULATOR.AUDIO.MAX_RIR_LENGTH = 24000
+# Precompute the full spectrogram bank on device (the reference's
+# _spectrogram_cache steady state); auto-skipped for multi-second sounds,
+# distractors, or when the bank exceeds the byte budget.
+_TC.SIMULATOR.AUDIO.CACHE_SPECTROGRAMS = True
+_TC.SIMULATOR.AUDIO.SPECTROGRAM_CACHE_MAX_BYTES = 4294967296
 
 _TC.TASK = CN()
 _TC.TASK.TYPE = "AudioNav"

@@ -144,14 +144,14 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
         )
 
         # load pretrained towers (ddppo_trainer.py:244-280, 301-513)
-        if cfg.GOAL_CKPT and os.path.exists(cfg.GOAL_CKPT):
-            ckpt = self.load_checkpoint(cfg.GOAL_CKPT)
+        if cfg.GOAL_CKPT_PATH and os.path.exists(cfg.GOAL_CKPT_PATH):
+            ckpt = self.load_checkpoint(cfg.GOAL_CKPT_PATH)
             self.params_goal = jax.tree.map(jnp.asarray, ckpt["state_dict"])
-            logger.info(f"loaded goal policy from {cfg.GOAL_CKPT}")
-        if cfg.DIALOG_CKPT and os.path.exists(cfg.DIALOG_CKPT):
-            ckpt = self.load_checkpoint(cfg.DIALOG_CKPT)
+            logger.info(f"loaded goal policy from {cfg.GOAL_CKPT_PATH}")
+        if cfg.VLN_CKPT_PATH and os.path.exists(cfg.VLN_CKPT_PATH):
+            ckpt = self.load_checkpoint(cfg.VLN_CKPT_PATH)
             self.params_dialog = jax.tree.map(jnp.asarray, ckpt["state_dict"])
-            logger.info(f"loaded dialog policy from {cfg.DIALOG_CKPT}")
+            logger.info(f"loaded dialog policy from {cfg.VLN_CKPT_PATH}")
 
         self.use_belief_predictor = cfg.RL.PPO.use_belief_predictor
         self.belief_net = None
@@ -437,11 +437,16 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
         stats: Dict[str, list] = collections.defaultdict(list)
         episodes = 0
         carry = self.carry
+        # per-episode text log + npz histograms (ppo_trainer.py:1383-1397,
+        # 1824-1860)
+        log_lines = []
+        episode_records = collections.defaultdict(list)
         while episodes < count:
             carry, traj = self._collect(p_goal, p_vln, p_opt, p_bel, carry, deterministic=True)
             dones = np.asarray(traj["dones"])
             metrics = {k: np.asarray(v) for k, v in traj["metrics"].items()}
             qcount = np.asarray(traj["query_count"])
+            rlmask = np.asarray(traj["rl_mask"])
             for t, bi in zip(*np.nonzero(dones)):
                 if episodes >= count:
                     break
@@ -449,6 +454,24 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
                     stats[k].append(metrics[k][t, bi])
                 stats["query_count"].append(qcount[t, bi])
                 episodes += 1
+                episode_records["query_count"].append(float(qcount[t, bi]))
+                episode_records["success"].append(float(metrics["success"][t, bi]))
+                episode_records["spl"].append(float(metrics["spl"][t, bi]))
+                episode_records["na"].append(float(metrics["na"][t, bi]))
+                log_lines.append(
+                    f"episode {episodes}: success={metrics['success'][t, bi]:.0f} "
+                    f"spl={metrics['spl'][t, bi]:.3f} sna={metrics['sna'][t, bi]:.3f} "
+                    f"na={metrics['na'][t, bi]:.0f} queries={qcount[t, bi]:.0f} "
+                    f"vln_steps={float((1.0 - rlmask[: t + 1, bi]).sum()):.0f}"
+                )
+        os.makedirs(cfg.MODEL_DIR, exist_ok=True)
+        sound_tag = cfg.SOUND_TYPE
+        with open(os.path.join(cfg.MODEL_DIR, f"test_log_ckpt{checkpoint_index}_{sound_tag}.txt"), "w") as f:
+            f.write("\n".join(log_lines) + "\n")
+        np.savez(
+            os.path.join(cfg.MODEL_DIR, f"eval_stats_ckpt{checkpoint_index}_{sound_tag}.npz"),
+            **{k: np.asarray(v) for k, v in episode_records.items()},
+        )
         means = {k: float(np.mean(v)) for k, v in stats.items()}
         logger.info(
             f"interactive eval ckpt {checkpoint_index}: "

@@ -102,6 +102,14 @@ def construct_batched_env(
         reward=reward_config_from(config),
         has_distractor=tc.SIMULATOR.AUDIO.HAS_DISTRACTOR_SOUND,
     )
+    audio_cfg = tc.SIMULATOR.AUDIO
+    if audio_cfg.CACHE_SPECTROGRAMS and not env_cfg.has_distractor:
+        from avlen_tpu.sim.scene import precompute_spectrogram_bank
+
+        bank.spec_bank = precompute_spectrogram_bank(
+            bank, max_bytes=audio_cfg.SPECTROGRAM_CACHE_MAX_BYTES
+        )
+
     env = BatchedAudioNavEnv(bank, packed, env_cfg)
     env.scene_tables = tables  # host-side per-scene tables (speaker/instruction bank)
     return env

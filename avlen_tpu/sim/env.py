@@ -343,7 +343,19 @@ class BatchedAudioNavEnv:
         obs: Dict[str, jax.Array] = {}
         sensors = set(cfg.sensors)
 
-        if "spectrogram" in sensors or "audiogoal" in sensors:
+        use_bank = (
+            bank.spec_bank is not None
+            and not cfg.has_distractor
+            and "audiogoal" not in sensors
+        )
+        if "spectrogram" in sensors and use_bank:
+            # precomputed spectrogram bank: the reference's per-(src, recv,
+            # azimuth) cache steady state (simulator.py:723-734) as ONE gather
+            az = (4 - state.rot) % 4
+            spec = bank.spec_bank[state.scene, state.sound, az, state.node, state.goal_node]
+            active = (state.step_count <= state.duration).astype(jnp.float32)
+            obs["spectrogram"] = spec.astype(jnp.float32) * active[:, None, None, None]
+        elif "spectrogram" in sensors or "audiogoal" in sensors:
             az = (4 - state.rot) % 4  # azimuth = -rotation (simulator.py:600-604)
             rir = bank.rir.gather(state.scene, az, state.node, state.goal_node)
             sound_padded = bank.sounds_padded[state.sound]

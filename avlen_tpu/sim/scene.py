@@ -112,6 +112,13 @@ class SceneBank:
     grid_size: float = 1.0
     sampling_rate: int = 16000
     num_categories: int = 21
+    # optional precomputed spectrogram bank (S, K, 4, N, N, F', T', 2) bf16:
+    # the device-resident equivalent of the reference's per-(src, recv,
+    # azimuth) `_spectrogram_cache` (soundspaces/simulator.py:701-734,
+    # flushed per sound — here all sounds banked), valid for 1-second
+    # (everlasting) sounds with no distractor. Built by
+    # precompute_spectrogram_bank; the audio observation becomes ONE gather.
+    spec_bank: Optional[jax.Array] = None
 
     @property
     def num_scenes(self) -> int:
@@ -120,6 +127,64 @@ class SceneBank:
     @property
     def max_nodes(self) -> int:
         return self.tables["positions"].shape[1]
+
+
+def precompute_spectrogram_bank(
+    bank: SceneBank,
+    batch: int = 256,
+    dtype=jnp.bfloat16,
+    max_bytes: int = 4 << 30,
+) -> Optional[jax.Array]:
+    """Render every (scene, sound, azimuth, receiver, source) spectrogram once.
+
+    Returns the (S, K, 4, N, N, F', T', 2) bank or None when the sounds are
+    not all 1-second or the bank would exceed ``max_bytes``. Rendering uses
+    the same golden-tested pipeline as the per-step path, so training
+    observations are bit-identical up to the bank dtype.
+    """
+    from avlen_tpu.ops.audio import SpectrogramConfig, render_audiogoal
+
+    secs = np.asarray(bank.sound_secs)
+    if not (secs == 1).all():
+        return None
+    s = bank.num_scenes
+    n = bank.max_nodes
+    k = int(bank.sounds_padded.shape[0])
+    cfg = SpectrogramConfig(sampling_rate=bank.sampling_rate)
+    f, t, _ = cfg.out_shape
+    total = s * k * 4 * n * n * f * t * 2 * np.dtype(dtype).itemsize
+    if total > max_bytes:
+        return None
+
+    @jax.jit
+    def render(scene, sound, az, recv, src):
+        rir = bank.rir.gather(scene, az, recv, src)
+        _, spec = render_audiogoal(
+            bank.sounds_padded[sound],
+            jnp.zeros_like(sound),
+            rir,
+            jnp.ones(sound.shape, bool),
+            bank.sampling_rate,
+            config=cfg,
+        )
+        return spec.astype(dtype)
+
+    # enumerate all combos in host order, render in device batches
+    idx = np.stack(
+        np.meshgrid(
+            np.arange(s), np.arange(k), np.arange(4), np.arange(n), np.arange(n), indexing="ij"
+        ),
+        axis=-1,
+    ).reshape(-1, 5)
+    chunks = []
+    for i in range(0, idx.shape[0], batch):
+        part = idx[i : i + batch]
+        pad = batch - part.shape[0]
+        if pad:
+            part = np.concatenate([part, np.repeat(part[-1:], pad, 0)], 0)
+        spec = render(*(jnp.asarray(part[:, j]) for j in range(5)))
+        chunks.append(spec[: batch - pad] if pad else spec)
+    return jnp.concatenate(chunks, axis=0).reshape(s, k, 4, n, n, f, t, 2)
 
 
 def pad_sounds(sounds: "list[np.ndarray]", rir_length: int, sampling_rate: int) -> "tuple[np.ndarray, np.ndarray]":

