@@ -1,0 +1,137 @@
+"""Speaker training: teacher-forced imitation of the instruction channel.
+
+Capability match for the reference's speaker training
+(ss_baselines/savi/dialog/speaker/tasks/R2R/train_speaker.py: teacher-forced
+seq2seq over (path, instruction) pairs). Here the supervision pairs are
+generated from scene graphs + the template channel (the closed world's
+ground-truth language), and the train step is one jit.
+
+CLI: python -m avlen_tpu.dialog.speaker.train_speaker --output data/speaker
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from avlen_tpu.dialog.speaker.model import Seq2SeqSpeaker
+from avlen_tpu.dialog.speaker.speaker import MAX_PATH_LEN, Speaker
+from avlen_tpu.dialog.speaker.templates import generate_template_instruction
+from avlen_tpu.dialog.instruction_bank import shortest_path_prefix
+from avlen_tpu.dialog.speaker.vocab import Vocabulary
+from avlen_tpu.sim.graph import SceneTables
+from avlen_tpu.utils.checkpoint import save_checkpoint
+from avlen_tpu.utils.logging import logger
+
+MAX_WORDS = 40
+
+
+def build_dataset(
+    tables_list: List[SceneTables],
+    vocab: Vocabulary,
+    num_pairs: int,
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Sample (path → instruction) pairs. Returns (actions, feats, lengths,
+    target token ids (BOS-led))."""
+    rng = np.random.RandomState(seed)
+    speaker = Speaker([t.positions for t in tables_list], backend="template", vocab=vocab)
+    acts = np.zeros((num_pairs, MAX_PATH_LEN), np.int32)
+    feats = np.zeros((num_pairs, MAX_PATH_LEN, 8), np.float32)
+    lens = np.zeros((num_pairs,), np.int32)
+    words = np.zeros((num_pairs, MAX_WORDS), np.int32)
+    i = 0
+    guard = 0
+    while i < num_pairs and guard < num_pairs * 20:
+        guard += 1
+        s = rng.randint(len(tables_list))
+        t = tables_list[s]
+        a, b = rng.randint(t.num_nodes), rng.randint(t.num_nodes)
+        if a == b or t.hops[a, b] >= 2**15:
+            continue
+        rot = rng.randint(4)
+        heading = (270 - rot * 90) % 360
+        path = shortest_path_prefix(t, a, b, max_len=MAX_PATH_LEN)
+        instr = generate_template_instruction(t.positions, path, heading)
+        acts[i], feats[i], lens[i] = speaker.path_features(s, path, heading)
+        words[i] = vocab.encode(instr, MAX_WORDS)
+        i += 1
+    return acts[:i], feats[:i], lens[:i], words[:i]
+
+
+def train_speaker(
+    tables_list: List[SceneTables],
+    num_steps: int = 500,
+    batch: int = 64,
+    hidden_size: int = 256,
+    lr: float = 1e-3,
+    seed: int = 0,
+    checkpoint_dir: str | None = None,
+):
+    vocab = Vocabulary()
+    acts, feats, lens, words = build_dataset(tables_list, vocab, max(batch * 8, 512), seed)
+    model = Seq2SeqSpeaker(vocab_size=len(vocab), hidden_size=hidden_size, max_decode_len=MAX_WORDS)
+    key = jax.random.key(seed)
+    params = model.init(
+        key, acts[:2], feats[:2], lens[:2], words[:2], method=Seq2SeqSpeaker.teacher_logits
+    )
+    optimizer = optax.adam(lr)
+    opt_state = optimizer.init(params)
+    pad = vocab.pad_id
+    acts, feats, lens, words = (jnp.asarray(x) for x in (acts, feats, lens, words))
+
+    def loss_fn(p, a, f, l, w):
+        # inputs: words[:-1] (BOS-led) predict words[1:]
+        logits = model.apply(p, a, f, l, w[:, :-1], method=Seq2SeqSpeaker.teacher_logits)
+        targets = w[:, 1:]
+        mask = (targets != pad).astype(jnp.float32)
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, targets)
+        acc = ((jnp.argmax(logits, -1) == targets) * mask).sum() / jnp.maximum(mask.sum(), 1)
+        return (ce * mask).sum() / jnp.maximum(mask.sum(), 1), acc
+
+    @jax.jit
+    def step(p, o, key):
+        idx = jax.random.randint(key, (batch,), 0, acts.shape[0])
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, acts[idx], feats[idx], lens[idx], words[idx]
+        )
+        updates, o = optimizer.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss, acc
+
+    t0 = time.time()
+    loss = acc = 0.0
+    for i in range(num_steps):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss, acc = step(params, opt_state, sub)
+        if i % 100 == 0:
+            logger.info(f"speaker {i}: loss {float(loss):.3f} acc {float(acc):.3f}")
+    logger.info(f"speaker done in {time.time() - t0:.1f}s: acc {float(acc):.3f}")
+    if checkpoint_dir:
+        save_checkpoint(checkpoint_dir, "speaker.pth", {"state_dict": params, "vocab": vocab.idx2word})
+    return params, vocab, float(acc)
+
+
+def main() -> None:
+    import argparse
+
+    from avlen_tpu.sim.synthetic import make_grid_scene
+    from avlen_tpu.sim.graph import build_scene_tables
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--output", default="data/speaker")
+    p.add_argument("--steps", type=int, default=2000)
+    p.add_argument("--scenes", type=int, default=2)
+    p.add_argument("--side", type=int, default=8)
+    args = p.parse_args()
+    rng = np.random.RandomState(0)
+    tables = [build_scene_tables(make_grid_scene(rng, side=args.side)) for _ in range(args.scenes)]
+    train_speaker(tables, num_steps=args.steps, checkpoint_dir=args.output)
+
+
+if __name__ == "__main__":
+    main()

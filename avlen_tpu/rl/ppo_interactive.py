@@ -40,6 +40,8 @@ def evaluate_option_sequence(
     prev_actions = traj_obs["__prev_action"]
     sensor_obs = {k: v for k, v in traj_obs.items() if not k.startswith("__")}
 
+    evaluate_step = jax.checkpoint(evaluate_step)  # remat per scan step
+
     def step(mem, inp):
         obs_t, pa_t, feat_t, qs_t, lqi_t, m_t, a_t = inp
         mem = reset_where(mem, m_t == 0)
@@ -160,6 +162,8 @@ def evaluate_dialog_sequence(
 ):
     prev_actions = traj_obs["__prev_action"]
     sensor_obs = {k: v for k, v in traj_obs.items() if not k.startswith("__")}
+
+    evaluate_step = jax.checkpoint(evaluate_step)  # remat per scan step
 
     def step(carry, inp):
         mem, smem = carry

@@ -122,6 +122,11 @@ def evaluate_sequence_smt(
     features = obs_seq["__feature"]
     sensor_obs = {k: v for k, v in obs_seq.items() if not k.startswith("__")}
 
+    # rematerialize each step's policy forward in the backward pass: without
+    # this the scan would keep every step's CNN/transformer activations live
+    # (the reference pays the analogous cost as num_copies memory snapshots)
+    evaluate_step = jax.checkpoint(evaluate_step)
+
     def step(mem, inp):
         obs_t, pa_t, feat_t, m_t, a_t = inp
         mem = reset_where(mem, m_t == 0)

@@ -72,6 +72,16 @@ from avlen_tpu.utils.tb import TensorboardWriter
 class InteractiveDDPPOTrainer(BaseRLTrainer):
     def __init__(self, config):
         super().__init__(config)
+        self._delegate = None
+        if config.RL.PPO.policy_type in ("rnn", "smt") and not config.DIALOG_TRAINING:
+            # plain (non-dialog) distributed training delegates to the SAVi
+            # trainer path (reference DDPPOTrainer policy_type rnn/smt,
+            # ddppo_trainer.py:92-180); multi-chip scale-out of the same jits
+            # goes through parallel/ddppo.make_ddppo_step
+            from avlen_tpu.rl.trainers.savi import SaviTrainer
+
+            self._delegate = SaviTrainer(config)
+            return
         self._setup()
 
     # ------------------------------------------------------------------
@@ -297,10 +307,18 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
 
     # ------------------------------------------------------------------
     def train(self) -> None:
-        if self.policy_type == "dialog" or self.config.DIALOG_TRAINING:
+        if self._delegate is not None:
+            self._delegate.train()
+        elif self.policy_type == "dialog" or self.config.DIALOG_TRAINING:
             self._train_dialog()
         else:
             self._train_interactive()
+
+    def eval(self) -> None:
+        if self._delegate is not None:
+            self._delegate.eval()
+        else:
+            super().eval()
 
     def _train_interactive(self) -> None:
         cfg = self.config

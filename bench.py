@@ -1,17 +1,14 @@
-"""End-to-end throughput benchmark.
+"""End-to-end throughput benchmark: SAVi semantic audionav (flagship stack).
 
-Measures rollout+update env-steps/sec for the AV-Nav audio-visual PPO stack
-on one chip — the reference's headline throughput metric (fps printed by
-ddppo_trainer.py:1161-1175; reference hardware: 4× RTX GPUs with GLOO,
-6 envs/GPU, whose published-recipe rollout is bottlenecked by per-step CPU
-audio convolution + STFT + process pipes).
+Measures combined rollout+update env-steps/sec on one chip for the SAVi
+Scene-Memory-Transformer policy with belief predictor — the driver's metric
+("env steps/sec/chip (rollout FPS) + PPO updates/sec on SAVi semantic
+audionav", BASELINE.json). The reference's published recipe ran 6 envs/GPU
+with per-step CPU audio convolution + process-pipe env workers
+(ddppo_trainer.py:1161-1175 prints the fps; SoundSpaces-era logs are
+~O(100-200) steps/s/GPU at steady state with warm caches).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-
-``vs_baseline`` is measured against REFERENCE_FPS, a generous estimate of the
-reference's per-GPU rollout+update fps on its own recipe (the repo publishes
-no number; SoundSpaces-era training logs are ~O(100) fps/GPU with cached
-audio). See BASELINE.md.
 """
 
 from __future__ import annotations
@@ -21,7 +18,7 @@ import time
 
 import numpy as np
 
-REFERENCE_FPS = 150.0  # per-GPU steps/sec estimate for the reference stack
+REFERENCE_FPS = 150.0  # per-GPU rollout+update steps/sec estimate (BASELINE.md)
 
 
 def main() -> None:
@@ -29,52 +26,75 @@ def main() -> None:
     import jax.numpy as jnp
 
     from avlen_tpu.core.episodes import pack_episodes
-    from avlen_tpu.models.policy import AudioNavBaselineNet, Policy
+    from avlen_tpu.models.belief_predictor import (
+        BeliefPredictorNet,
+        init_belief_state,
+        update_beliefs,
+    )
+    from avlen_tpu.models.memory import init_memory
+    from avlen_tpu.models.smt_policy import AudioNavSMTNet, SMTPolicy
     from avlen_tpu.rl.gae import compute_gae
     from avlen_tpu.rl.ppo import PPOConfig, make_optimizer, ppo_update
-    from avlen_tpu.rl.rollout import CarryState, collect_rollout
+    from avlen_tpu.rl.rollout_smt import SMTCarry, collect_rollout_smt, evaluate_sequence_smt
     from avlen_tpu.sim.env import BatchedAudioNavEnv, EnvConfig
+    from avlen_tpu.sim.scene import precompute_spectrogram_bank
     from avlen_tpu.sim.synthetic import make_episodes, make_scene_bank
 
-    from avlen_tpu.sim.scene import precompute_spectrogram_bank
+    # production shapes: 16 kHz audio, 1.5 s RIRs, 128 px RGB-D, SMT memory 150
+    num_envs, t_steps = 64, 150
+    d_model, memory_size = 256, 150
+    compute_dtype = jnp.bfloat16
 
-    # production-shaped world: 16 kHz audio, 1.5 s RIRs, 128px depth, 64 envs
-    num_envs, t_steps, hidden = 64, 150, 512
     bank, tables = make_scene_bank(
         np.random.RandomState(0), num_scenes=1, side=8, rir_length=24000,
         sampling_rate=16000, frame_res=128, num_sounds=2,
     )
-    # steady-state audio path: the reference caches spectrograms per
-    # (sound, src, recv, azimuth) after first computation
-    # (soundspaces/simulator.py:723-734); the TPU equivalent precomputes the
-    # bank once with the same golden-tested renderer and gathers per step.
+    # steady-state audio: precomputed spectrogram bank (the reference's
+    # _spectrogram_cache equivalent, soundspaces/simulator.py:723-734)
     bank.spec_bank = precompute_spectrogram_bank(bank, batch=512)
     eps = make_episodes(np.random.RandomState(1), tables, 256, min_hops=2, max_hops=30, num_sounds=2)
     packed = pack_episodes(eps, num_envs=num_envs)
     env = BatchedAudioNavEnv(
         bank, packed,
-        EnvConfig(max_episode_steps=150, sensors=("spectrogram", "depth", "pose", "category")),
+        EnvConfig(
+            max_episode_steps=150,
+            sensors=("spectrogram", "rgb", "depth", "pose", "category",
+                     "category_belief", "location_belief"),
+        ),
     )
-    policy = Policy(
-        net=AudioNavBaselineNet(hidden_size=hidden, spectrogram_hw=env.spec_config.out_shape[:2]),
-        num_actions=4,
+
+    policy = SMTPolicy(
+        net=AudioNavSMTNet(
+            spectrogram_hw=env.spec_config.out_shape[:2],
+            d_model=d_model,
+            use_rgb=True,
+            use_depth=True,
+            dtype=compute_dtype,
+        )
     )
-    state, obs = env.reset()
+    belief_net = BeliefPredictorNet(dtype=compute_dtype)
+
     key = jax.random.key(0)
-    h0 = jnp.zeros((num_envs, hidden))
-    params = policy.init(key, obs, h0, jnp.ones((num_envs,)), key, method=Policy.act)
-    ppo_cfg = PPOConfig(ppo_epoch=4, num_mini_batch=2)
+    state, obs = env.reset()
+    mem = init_memory(num_envs, memory_size, policy.net.feature_size)
+    prev_a = jnp.zeros((num_envs,), jnp.int32)
+    params = policy.init(key, obs, prev_a, mem.features, mem.valid, key, method=SMTPolicy.act)
+    belief_params = belief_net.init(jax.random.fold_in(key, 1), obs["spectrogram"], obs.get("category"))
+    ppo_cfg = PPOConfig(ppo_epoch=2, num_mini_batch=2, lr=2.5e-4)
     optimizer = make_optimizer(ppo_cfg)
     opt_state = optimizer.init(params)
 
-    def collect(params, carry):
-        def pol(o, h, m, k):
-            return policy.apply(params, o, h, m, k, method=Policy.act)
+    def collect(params, belief_params, carry):
+        def act(o, pa, mf, mv, k):
+            return policy.apply(params, o, pa, mf, mv, k, method=SMTPolicy.act)
 
-        def val(o, h, m):
-            return policy.apply(params, o, h, m, method=Policy.get_value)
+        def val(o, pa, mf, mv):
+            return policy.apply(params, o, pa, mf, mv, method=SMTPolicy.get_value)
 
-        return collect_rollout(env._step_impl_noquery, pol, val, carry, t_steps)
+        def belief_fn(st, o, new_ep):
+            return update_beliefs(belief_params, belief_net, st, o, new_ep)
+
+        return collect_rollout_smt(env._step_impl_noquery, act, val, belief_fn, carry, t_steps)
 
     def update(params, opt_state, batch, key):
         adv, ret = compute_gae(
@@ -82,35 +102,40 @@ def main() -> None:
             1.0 - batch.dones.astype(jnp.float32), ppo_cfg.gamma, ppo_cfg.tau,
         )
 
-        def ev(p, o, h0_, m, a):
-            return policy.apply(p, o, h0_, m, a, method=Policy.evaluate_actions)
+        def evaluate_actions(p, o, init_mem, masks, actions):
+            def eval_step(oo, pa, mf, mv, a):
+                return policy.apply(p, oo, pa, mf, mv, a, method=SMTPolicy.evaluate_step)
 
-        return ppo_update(params, opt_state, batch, adv, ret, key, ev, optimizer, ppo_cfg)
+            return evaluate_sequence_smt(eval_step, o, init_mem, masks, actions)
+
+        return ppo_update(params, opt_state, batch, adv, ret, key, evaluate_actions, optimizer, ppo_cfg)
 
     collect_j = jax.jit(collect)
     update_j = jax.jit(update)
-
-    carry = CarryState(state, obs, h0, jnp.zeros((num_envs,)), jax.random.key(1))
+    carry = SMTCarry(
+        env_state=state, obs=obs, prev_action=prev_a,
+        masks=jnp.zeros((num_envs,), jnp.float32),
+        memory=mem, belief=init_belief_state(num_envs), key=jax.random.key(1),
+    )
 
     # warmup / compile
-    carry, batch = collect_j(params, carry)
-    params_w, opt_w, stats = update_j(params, opt_state, batch, jax.random.key(2))
+    carry, batch = collect_j(params, belief_params, carry)
+    _p, _o, stats = update_j(params, opt_state, batch, jax.random.key(2))
     jax.block_until_ready(stats["value_loss"])
 
     iters = 5
     t0 = time.time()
     for i in range(iters):
-        carry, batch = collect_j(params, carry)
+        carry, batch = collect_j(params, belief_params, carry)
         params, opt_state, stats = update_j(params, opt_state, batch, jax.random.key(3 + i))
     jax.block_until_ready(stats["value_loss"])
     dt = time.time() - t0
 
-    steps = iters * t_steps * num_envs
-    fps = steps / dt
+    fps = iters * t_steps * num_envs / dt
     print(
         json.dumps(
             {
-                "metric": "rollout+update env steps/sec/chip (AV-Nav audio-visual PPO, 16kHz audio, 64 envs)",
+                "metric": "rollout+update env steps/sec/chip (SAVi SMT semantic audionav: memory-150 scene transformer, belief predictor, 16kHz audio, 128px RGB-D, 64 envs)",
                 "value": round(fps, 1),
                 "unit": "steps/s",
                 "vs_baseline": round(fps / REFERENCE_FPS, 2),
