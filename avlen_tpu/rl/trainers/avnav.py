@@ -230,6 +230,52 @@ class AVNavTrainer(BaseRLTrainer):
         )
 
     # ------------------------------------------------------------------
+    def _generate_eval_videos(self, batch, writer, checkpoint_index: int, max_videos: int = 2) -> None:
+        """Top-down-map episode videos at eval (generate_video semantics,
+        common/utils.py:187-238), for episodes fully contained in this
+        rollout chunk of env slot 0."""
+        metrics = {k: np.asarray(v) for k, v in batch.metrics.items()}
+        if "agent_node" not in metrics or not self.config.VIDEO_OPTION:
+            return
+        from avlen_tpu.utils.maps import draw_top_down_map
+        from avlen_tpu.utils.video import generate_video
+
+        dones = np.asarray(batch.dones)
+        masks = np.asarray(batch.masks)
+        made = 0
+        for b in range(dones.shape[1]):
+            if made >= max_videos:
+                break
+            start = 0
+            for t in range(dones.shape[0]):
+                if masks[t, b] == 0:
+                    start = t
+                if dones[t, b]:
+                    scene = int(metrics["agent_scene"][t, b])
+                    tbl = self.env.scene_tables[scene]
+                    edges = np.array(
+                        [[u, v] for u in range(tbl.num_nodes) for v in tbl.neighbors[u] if v >= 0],
+                        np.int32,
+                    )
+                    trail = [int(x) for x in metrics["agent_node"][start : t + 1, b]]
+                    frames = [
+                        draw_top_down_map(
+                            tbl.positions, edges, trail[i], int(metrics["agent_rot"][start + i, b]),
+                            int(metrics["goal_node"][t, b]), trail=trail[: i + 1],
+                        )
+                        for i in range(len(trail))
+                    ]
+                    generate_video(
+                        self.config.VIDEO_OPTION, self.config.VIDEO_DIR, frames,
+                        episode_id=f"{b}_{t}", checkpoint_idx=checkpoint_index,
+                        metrics={"spl": float(metrics["spl"][t, b]), "success": float(metrics["success"][t, b])},
+                        tb_writer=writer,
+                    )
+                    made += 1
+                    start = t + 1
+                    if made >= max_videos:
+                        break
+
     def _eval_checkpoint(self, checkpoint_path: str, writer, checkpoint_index: int = 0) -> Dict[str, float]:
         ckpt = self.load_checkpoint(checkpoint_path)
         self.reconfigure_from_checkpoint(ckpt)
@@ -245,10 +291,16 @@ class AVNavTrainer(BaseRLTrainer):
             key=jax.random.key(self.config.SEED + 7),
         )
         episodes = 0
+        first_chunk = True
         while episodes < count:
             carry, batch = self._collect(params, carry, deterministic=True)
+            if first_chunk:
+                self._generate_eval_videos(batch, writer, checkpoint_index)
+                first_chunk = False
             dones = np.asarray(batch.dones)
-            metrics = {k: np.asarray(v) for k, v in batch.metrics.items()}
+            metrics = {
+                k: np.asarray(v) for k, v in batch.metrics.items() if not k.startswith("agent_") and k != "goal_node"
+            }
             for t, bi in zip(*np.nonzero(dones)):
                 if episodes >= count:
                     break

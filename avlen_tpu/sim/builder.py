@@ -101,6 +101,7 @@ def construct_batched_env(
         sensors=tuple(sensors),
         reward=reward_config_from(config),
         has_distractor=tc.SIMULATOR.AUDIO.HAS_DISTRACTOR_SOUND,
+        record_pose_info=bool(config.VIDEO_OPTION),
     )
     audio_cfg = tc.SIMULATOR.AUDIO
     if audio_cfg.CACHE_SPECTROGRAMS and not env_cfg.has_distractor:

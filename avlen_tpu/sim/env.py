@@ -118,6 +118,7 @@ class EnvConfig:
     num_categories: int = 21
     reward: RewardConfig = RewardConfig()
     has_distractor: bool = False
+    record_pose_info: bool = False  # include agent trace in step metrics
 
 
 class BatchedAudioNavEnv:
@@ -297,6 +298,13 @@ class BatchedAudioNavEnv:
             "sna": sna,
             "sws": sws,
         }
+        if cfg.record_pose_info:
+            # agent trace for video/top-down-map generation (the reference
+            # carries TopDownMap through info, habitat/tasks/nav/nav.py:705)
+            metrics["agent_node"] = new_node.astype(jnp.float32)
+            metrics["agent_rot"] = new_rot.astype(jnp.float32)
+            metrics["agent_scene"] = state.scene.astype(jnp.float32)
+            metrics["goal_node"] = state.goal_node.astype(jnp.float32)
 
         # ---- auto-reset: pull each done env's next episode from its stream
         cursor = jnp.where(done, state.cursor + 1, state.cursor)
