@@ -49,6 +49,9 @@ class SpectrogramConfig:
     win_length: int = 400
     block: Tuple[int, int] = (4, 4)
     pad_mode: str = "reflect"
+    # fuse the post-framing pipeline (window → DFT matmul → |·| → pool →
+    # log1p) into one Pallas kernel (TPU only; ~1.7× the XLA rfft path)
+    use_pallas: bool = False
 
     @property
     def num_frames(self) -> int:
@@ -120,6 +123,10 @@ def spectrogram_from_audiogoal(audio: jax.Array, config: SpectrogramConfig = Spe
 
     Matches SpectrogramSensor.compute_spectrogram (soundspaces/tasks/nav.py:87-101).
     """
+    if config.use_pallas and audio.ndim == 3:
+        from avlen_tpu.ops.pallas_spectrogram import spectrogram_pallas
+
+        return spectrogram_pallas(audio, config)
     mag = stft_magnitude(
         audio,
         n_fft=config.n_fft,

@@ -184,6 +184,10 @@ def collect_rollout_interactive(
             wants_query = jax.random.uniform(k4, (b,)) < cfg.random_prob
         elif cfg.qs_method == "uniform":
             wants_query = (t.total_step % cfg.uniform_interval) == (cfg.uniform_interval - 1)
+        elif cfg.qs_method == "jask":
+            # "just ask when uncertain": query when the auxiliary uncertainty
+            # head predicts the goal policy is uncertain (ppo_trainer.py:2036)
+            wants_query = jnp.argmax(unct_logits, axis=-1) == 1
         else:  # never
             wants_query = jnp.zeros((b,), bool)
 

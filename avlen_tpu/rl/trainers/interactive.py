@@ -93,7 +93,10 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
         smt_cfg = cfg.RL.PPO.SCENE_MEMORY_TRANSFORMER
         bp_cfg = cfg.RL.PPO.BELIEF_PREDICTOR
 
-        self.env = construct_batched_env(cfg, num_envs=num_envs, with_depth=True, with_rgb=True)
+        self.env = construct_batched_env(
+            cfg, num_envs=num_envs, with_depth=True, with_rgb=True,
+            extra_sensors=("category_belief", "location_belief", "category"),
+        )
         b = self.env.num_envs
         spec_hw = self.env.spec_config.out_shape[:2]
         num_actions = len(cfg.TASK_CONFIG.TASK.POSSIBLE_ACTIONS)

@@ -58,7 +58,10 @@ class SaviTrainer(BaseRLTrainer):
         self.num_steps = cfg.RL.PPO.num_steps
         smt_cfg = cfg.RL.PPO.SCENE_MEMORY_TRANSFORMER
         bp_cfg = cfg.RL.PPO.BELIEF_PREDICTOR
-        self.env = construct_batched_env(cfg, num_envs=num_envs, with_depth=True, with_rgb=True)
+        self.env = construct_batched_env(
+            cfg, num_envs=num_envs, with_depth=True, with_rgb=True,
+            extra_sensors=("category_belief", "location_belief", "category"),
+        )
         b = self.env.num_envs
         self.memory_size = smt_cfg.memory_size
 

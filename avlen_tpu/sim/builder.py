@@ -58,6 +58,7 @@ def construct_batched_env(
     with_rgb: bool = False,
     with_depth: bool = True,
     seed: Optional[int] = None,
+    extra_sensors: Tuple[str, ...] = (),
 ) -> BatchedAudioNavEnv:
     tc = config.TASK_CONFIG
     b = num_envs or config.NUM_PROCESSES
@@ -93,6 +94,13 @@ def construct_batched_env(
         sensors.append("depth")
     if with_rgb and "rgb" not in sensors:
         sensors.append("rgb")
+    if config.RL.PPO.use_belief_predictor or config.RL.PPO.policy_type in ("smt", "dialog", "interactive"):
+        # belief slots must exist in every observation for the SMT stacks
+        # (filled by the belief predictor or zeros — nav.py:452-512)
+        extra_sensors = tuple(extra_sensors) + ("category_belief", "location_belief", "category")
+    for s in extra_sensors:
+        if s not in sensors:
+            sensors.append(s)
 
     env_cfg = EnvConfig(
         max_episode_steps=tc.ENVIRONMENT.MAX_EPISODE_STEPS,
