@@ -11,7 +11,6 @@ the scan's stacked outputs — resident in HBM, zero host round-trips.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, NamedTuple, Tuple
 
 import jax

@@ -27,7 +27,6 @@ Semantics preserved (with reference citations inline):
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
