@@ -41,7 +41,7 @@ def main() -> None:
     from avlen_tpu.sim.synthetic import make_episodes, make_scene_bank
 
     # production shapes: 16 kHz audio, 1.5 s RIRs, 128 px RGB-D, SMT memory 150
-    num_envs, t_steps = 64, 150
+    num_envs, t_steps = 128, 150
     d_model, memory_size = 256, 150
     compute_dtype = jnp.bfloat16
 
@@ -135,7 +135,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "rollout+update env steps/sec/chip (SAVi SMT semantic audionav: memory-150 scene transformer, belief predictor, 16kHz audio, 128px RGB-D, 64 envs)",
+                "metric": "rollout+update env steps/sec/chip (SAVi SMT semantic audionav: memory-150 scene transformer, belief predictor, 16kHz audio, 128px RGB-D, 128 envs)",
                 "value": round(fps, 1),
                 "unit": "steps/s",
                 "vs_baseline": round(fps / REFERENCE_FPS, 2),
