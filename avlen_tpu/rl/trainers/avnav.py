@@ -59,7 +59,6 @@ class AVNavTrainer(BaseRLTrainer):
 
     def __init__(self, config):
         super().__init__(config)
-        self._setup()
 
     def _setup(self, num_envs=None):
         cfg = self.config
@@ -131,6 +130,7 @@ class AVNavTrainer(BaseRLTrainer):
             should_exit,
         )
 
+        self.ensure_setup()
         cfg = self.config
         os.makedirs(cfg.CHECKPOINT_FOLDER, exist_ok=True)
         os.makedirs(cfg.TENSORBOARD_DIR, exist_ok=True)

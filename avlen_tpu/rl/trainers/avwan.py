@@ -35,7 +35,6 @@ from avlen_tpu.utils.tb import TensorboardWriter
 class AVWanTrainer(BaseRLTrainer):
     def __init__(self, config):
         super().__init__(config)
-        self._setup()
 
     def _setup(self, num_envs=None):
         cfg = self.config
@@ -134,6 +133,7 @@ class AVWanTrainer(BaseRLTrainer):
 
     # ------------------------------------------------------------------
     def train(self) -> None:
+        self.ensure_setup()
         cfg = self.config
         os.makedirs(cfg.CHECKPOINT_FOLDER, exist_ok=True)
         os.makedirs(cfg.TENSORBOARD_DIR, exist_ok=True)

@@ -23,6 +23,17 @@ class BaseRLTrainer:
         self.config = config
         self.num_updates_done = 0
         self.num_steps_done = 0
+        self._setup_done = False
+
+    def _setup(self, num_envs=None) -> None:  # overridden by trainers
+        raise NotImplementedError
+
+    def ensure_setup(self) -> None:
+        """Lazy build: eval paths defer env/model construction until the
+        checkpoint config is known, avoiding a full second compile."""
+        if not self._setup_done:
+            self._setup()
+            self._setup_done = True
 
     # -- API -------------------------------------------------------------
     def train(self) -> None:
@@ -74,6 +85,7 @@ class BaseRLTrainer:
         reference re-merges eval config from the checkpoint,
         base_trainer.py:125-158) so network shapes match the training run."""
         if not self.config.EVAL.USE_CKPT_CONFIG or "config" not in ckpt:
+            self.ensure_setup()
             return
         saved = ConfigNode(ckpt["config"])
         current = self.config.clone()
@@ -90,7 +102,9 @@ class BaseRLTrainer:
                     pass
             current.freeze()
             self.config = current
-            self._setup()
+            if self._setup_done:
+                self._setup()
+        self.ensure_setup()
 
     def percent_done(self) -> float:
         return self.num_updates_done / max(self.config.NUM_UPDATES, 1)

@@ -82,7 +82,6 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
 
             self._delegate = SaviTrainer(config)
             return
-        self._setup()
 
     # ------------------------------------------------------------------
     def _setup(self, num_envs: Optional[int] = None):
@@ -312,7 +311,9 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
     def train(self) -> None:
         if self._delegate is not None:
             self._delegate.train()
-        elif self.policy_type == "dialog" or self.config.DIALOG_TRAINING:
+            return
+        self.ensure_setup()
+        if self.policy_type == "dialog" or self.config.DIALOG_TRAINING:
             self._train_dialog()
         else:
             self._train_interactive()

@@ -49,7 +49,6 @@ from avlen_tpu.utils.tb import TensorboardWriter
 class SaviTrainer(BaseRLTrainer):
     def __init__(self, config):
         super().__init__(config)
-        self._setup()
 
     # ------------------------------------------------------------------
     def _setup(self, num_envs: Optional[int] = None):
@@ -186,6 +185,7 @@ class SaviTrainer(BaseRLTrainer):
 
     # ------------------------------------------------------------------
     def train(self) -> None:
+        self.ensure_setup()
         cfg = self.config
         os.makedirs(cfg.CHECKPOINT_FOLDER, exist_ok=True)
         os.makedirs(cfg.TENSORBOARD_DIR, exist_ok=True)

@@ -35,4 +35,7 @@ class TensorboardWriter:
         if not self.writer:
             return
         frames = np.stack(images).transpose(0, 3, 1, 2)[None]
-        self.writer.add_video(tag, frames, step, fps=fps)
+        try:
+            self.writer.add_video(tag, frames, step, fps=fps)
+        except ImportError:
+            pass  # tensorboardX video needs moviepy; disk videos still written
