@@ -1,5 +1,30 @@
 from avlen_tpu.rl.gae import compute_gae
-from avlen_tpu.rl.ppo import PPOConfig, ppo_update
-from avlen_tpu.rl.rollout import RolloutBatch, collect_rollout
+from avlen_tpu.rl.ppo import PPOConfig, make_optimizer, ppo_update
+from avlen_tpu.rl.ppo_interactive import dialog_supervised_update, ppo_update_interactive
+from avlen_tpu.rl.rollout import CarryState, RolloutBatch, collect_rollout
+from avlen_tpu.rl.rollout_smt import SMTCarry, collect_rollout_smt, evaluate_sequence_smt
+from avlen_tpu.rl.rollout_interactive import (
+    InteractiveCarry,
+    InteractiveConfig,
+    InteractiveFns,
+    collect_rollout_interactive,
+)
 
-__all__ = ["compute_gae", "PPOConfig", "ppo_update", "RolloutBatch", "collect_rollout"]
+__all__ = [
+    "compute_gae",
+    "PPOConfig",
+    "make_optimizer",
+    "ppo_update",
+    "ppo_update_interactive",
+    "dialog_supervised_update",
+    "RolloutBatch",
+    "CarryState",
+    "collect_rollout",
+    "SMTCarry",
+    "collect_rollout_smt",
+    "evaluate_sequence_smt",
+    "InteractiveCarry",
+    "InteractiveConfig",
+    "InteractiveFns",
+    "collect_rollout_interactive",
+]
