@@ -46,9 +46,12 @@ def make_ddppo_step(
     are replicated; grads are pmean'd across the axis each minibatch."""
 
     def local_step(params, opt_state, carry: CarryState, key):
-        # per-shard RNG: decorrelate env-slot exploration across chips
+        # per-shard RNG: decorrelate env-slot exploration across chips, and
+        # split the rollout carry key from the PPO-update key so the
+        # action-sampling and minibatch-permutation streams are independent
         key = jax.random.fold_in(key, jax.lax.axis_index(axis))
-        carry = carry._replace(key=key)
+        rollout_key, update_key = jax.random.split(key)
+        carry = carry._replace(key=rollout_key)
 
         def pol(obs, h, m, k):
             return policy_act(params, obs, h, m, k)
@@ -71,7 +74,7 @@ def make_ddppo_step(
             batch,
             adv,
             ret,
-            key,
+            update_key,
             evaluate_actions,
             optimizer,
             ppo_cfg,
