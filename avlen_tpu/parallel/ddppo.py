@@ -9,12 +9,15 @@ and gradient sync is a `lax.pmean` inside each minibatch step — the moral
 equivalent of DDP's bucketed allreduce, but compiled into the XLA program on
 ICI. SPMD synchrony makes straggler preemption moot: all chips step the
 batched env in lockstep, so there is no slow worker to wait for.
+
+``make_sharded_superstep`` is the generic entry point used by the SAVi and
+interactive trainers (any carry NamedTuple with ``key``/``masks`` fields);
+``make_ddppo_step`` specializes it to the GRU (av-nav) stack.
 """
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, NamedTuple
+from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +25,110 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from avlen_tpu.rl.gae import compute_gae
 from avlen_tpu.rl.ppo import PPOConfig, ppo_update
-from avlen_tpu.rl.rollout import CarryState, collect_rollout
+from avlen_tpu.rl.rollout import CarryState, RolloutBatch, collect_rollout
+
+
+def _leaf_spec(shape: Tuple[int, ...], num_envs: int, num_steps: Optional[int], axis: str):
+    if (
+        num_steps is not None
+        and len(shape) >= 2
+        and shape[0] == num_steps
+        and shape[1] == num_envs
+    ):
+        return P(None, axis)  # time-major rollout tensor (T, B, ...)
+    if len(shape) >= 1 and shape[0] == num_envs:
+        return P(axis)  # env-leading state tensor (B, ...)
+    return P()
+
+
+def infer_env_specs(tree, num_envs: int, axis: str = "data", num_steps: Optional[int] = None):
+    """PartitionSpecs for a carry/rollout pytree: leaves with a leading env
+    dimension shard over ``axis``; (T, B, ...) time-major leaves shard on
+    their env dim; everything else (scalars, RNG keys) replicates. Matching
+    is by shape, so carry/batch trees must not contain unrelated leaves whose
+    leading dims coincide with ``num_envs``/``num_steps``."""
+
+    def spec(x):
+        shape = getattr(x, "shape", None)
+        if shape is None:
+            return P()
+        return _leaf_spec(tuple(shape), num_envs, num_steps, axis)
+
+    return jax.tree.map(spec, tree)
+
+
+def make_sharded_superstep(
+    collect: Callable,  # (train_state, carry) -> (carry, batch); per-env pure, no collectives
+    update: Callable,  # (train_state, batch, key, grad_reduce) -> (train_state, stats)
+    train_state_example,
+    carry_example,  # NamedTuple with .masks (B,) and .key fields
+    mesh: Mesh,
+    num_steps: int,
+    axis: str = "data",
+):
+    """Compile (rollout → update) into one SPMD program over ``mesh``.
+
+    Env state/obs/memories shard over their env dimension; params and
+    optimizer states replicate; ``update`` receives ``grad_reduce`` =
+    ``lax.pmean`` over the mesh axis (DDP-equivalent gradient sync,
+    ss_baselines/savi/ddppo/algo/ddppo.py:61-97). Per-shard RNG is
+    decorrelated by folding in the axis index, then split into independent
+    rollout and update streams.
+
+    Returns ``(step_fn, carry_spec)`` where ``step_fn(train_state, carry,
+    key) -> (train_state, carry, batch, stats)`` is jitted and ``carry_spec``
+    is the carry's PartitionSpec tree (for `shard_pytree`).
+    """
+    num_envs = int(carry_example.masks.shape[0])
+    per_axis = int(mesh.shape[axis])
+    if num_envs % per_axis != 0:
+        raise ValueError(
+            f"num_envs={num_envs} not divisible by mesh axis {axis!r} size {per_axis}"
+        )
+    carry_spec = infer_env_specs(carry_example, num_envs, axis)
+    _, batch_struct = jax.eval_shape(collect, train_state_example, carry_example)
+    batch_spec = infer_env_specs(batch_struct, num_envs, axis, num_steps=num_steps)
+
+    def local_step(train_state, carry, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        rollout_key, update_key = jax.random.split(key)
+        carry = carry._replace(key=rollout_key)
+        carry, batch = collect(train_state, carry)
+        train_state, stats = update(
+            train_state, batch, update_key, lambda g: jax.lax.pmean(g, axis)
+        )
+        stats = jax.tree.map(lambda v: jax.lax.pmean(v, axis), stats)
+        return train_state, carry, batch, stats
+
+    step = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), carry_spec, P()),
+        out_specs=(P(), carry_spec, batch_spec, P()),
+        check_vma=False,
+    )
+    return jax.jit(step, donate_argnums=(1,)), carry_spec
+
+
+def make_local_superstep(collect: Callable, update: Callable):
+    """Single-device analogue of `make_sharded_superstep` with identical
+    semantics and signature (identity grad_reduce, same RNG split)."""
+
+    def local_step(train_state, carry, key):
+        rollout_key, update_key = jax.random.split(key)
+        carry = carry._replace(key=rollout_key)
+        carry, batch = collect(train_state, carry)
+        train_state, stats = update(train_state, batch, update_key, lambda g: g)
+        return train_state, carry, batch, stats
+
+    return jax.jit(local_step, donate_argnums=(1,))
+
+
+def shard_pytree(tree, spec_tree, mesh: Mesh):
+    """Place a host-built pytree onto the mesh according to its spec tree."""
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, spec_tree
+    )
 
 
 class DDPPOStep(NamedTuple):
@@ -39,19 +145,15 @@ def make_ddppo_step(
     ppo_cfg: PPOConfig,
     num_steps: int,
     mesh: Mesh,
+    carry_example: CarryState,
+    params_example,
+    opt_example,
     axis: str = "data",
 ) -> DDPPOStep:
-    """Build the sharded train superstep. Env state / obs / rollout tensors are
-    sharded over ``axis`` on their env dimension; params and optimizer state
-    are replicated; grads are pmean'd across the axis each minibatch."""
+    """The GRU (av-nav style) stack on top of `make_sharded_superstep`."""
 
-    def local_step(params, opt_state, carry: CarryState, key):
-        # per-shard RNG: decorrelate env-slot exploration across chips, and
-        # split the rollout carry key from the PPO-update key so the
-        # action-sampling and minibatch-permutation streams are independent
-        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
-        rollout_key, update_key = jax.random.split(key)
-        carry = carry._replace(key=rollout_key)
+    def collect(train_state, carry: CarryState):
+        params, _ = train_state
 
         def pol(obs, h, m, k):
             return policy_act(params, obs, h, m, k)
@@ -59,7 +161,10 @@ def make_ddppo_step(
         def val(obs, h, m):
             return policy_value(params, obs, h, m)
 
-        carry, batch = collect_rollout(env_step, pol, val, carry, num_steps)
+        return collect_rollout(env_step, pol, val, carry, num_steps)
+
+    def update(train_state, batch: RolloutBatch, key, grad_reduce):
+        params, opt_state = train_state
         adv, ret = compute_gae(
             batch.rewards,
             batch.values,
@@ -68,67 +173,27 @@ def make_ddppo_step(
             ppo_cfg.gamma,
             ppo_cfg.tau,
         )
-        new_params, new_opt_state, stats = ppo_update(
-            params,
-            opt_state,
-            batch,
-            adv,
-            ret,
-            update_key,
-            evaluate_actions,
-            optimizer,
-            ppo_cfg,
-            grad_reduce=lambda g: jax.lax.pmean(g, axis),
+        params, opt_state, stats = ppo_update(
+            params, opt_state, batch, adv, ret, key, evaluate_actions,
+            optimizer, ppo_cfg, grad_reduce=grad_reduce,
         )
-        stats = {k: jax.lax.pmean(v, axis) for k, v in stats.items()}
-        return new_params, new_opt_state, carry, batch, stats
+        return (params, opt_state), stats
 
-    # params/opt replicated; carry sharded on its env dim; rollout tensors are
-    # (T, B, ...) so their env dim is axis 1
-    replicated = P()
-    carry_spec = CarryState(
-        env_state=P(axis), obs=P(axis), hidden=P(axis), masks=P(axis), key=P()
-    )
-    from avlen_tpu.rl.rollout import RolloutBatch
-
-    time_major = P(None, axis)
-    batch_spec = RolloutBatch(
-        obs=time_major,
-        actions=time_major,
-        log_probs=time_major,
-        values=time_major,
-        rewards=time_major,
-        masks=time_major,
-        dones=time_major,
-        metrics=time_major,
-        initial_hidden=P(axis),
-        bootstrap_value=P(axis),
+    sharded, _carry_spec = make_sharded_superstep(
+        collect, update, (params_example, opt_example), carry_example,
+        mesh, num_steps, axis,
     )
 
-    step = jax.shard_map(
-        local_step,
-        mesh=mesh,
-        in_specs=(replicated, replicated, carry_spec, replicated),
-        out_specs=(replicated, replicated, carry_spec, batch_spec, replicated),
-        check_vma=False,
-    )
-    return DDPPOStep(step_fn=jax.jit(step), mesh=mesh)
+    def step_fn(params, opt_state, carry, key):
+        (params, opt_state), carry, batch, stats = sharded(
+            (params, opt_state), carry, key
+        )
+        return params, opt_state, carry, batch, stats
+
+    return DDPPOStep(step_fn=step_fn, mesh=mesh)
 
 
 def shard_carry(carry: CarryState, mesh: Mesh, axis: str = "data") -> CarryState:
     """Place a host-built carry onto the mesh with env-dim sharding."""
-    sharding = NamedSharding(mesh, P(axis))
-
-    def put(x):
-        if hasattr(x, "ndim") and x.ndim >= 1:
-            return jax.device_put(x, sharding)
-        return x
-
-    # key is per-shard; replicate it (folded inside the step)
-    return CarryState(
-        env_state=jax.tree.map(put, carry.env_state),
-        obs=jax.tree.map(put, carry.obs),
-        hidden=put(carry.hidden),
-        masks=put(carry.masks),
-        key=jax.device_put(carry.key, NamedSharding(mesh, P())),
-    )
+    num_envs = int(carry.masks.shape[0])
+    return shard_pytree(carry, infer_env_specs(carry, num_envs, axis), mesh)

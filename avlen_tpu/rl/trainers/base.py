@@ -28,6 +28,28 @@ class BaseRLTrainer:
     def _setup(self, num_envs=None) -> None:  # overridden by trainers
         raise NotImplementedError
 
+    def _make_train_mesh(self, num_envs: int):
+        """Device mesh for data-parallel training from TPU.MESH_AXES/SHAPE
+        (the TPU replacement for RL.DDPPO.distrib_backend + init_distrib_slurm,
+        ss_baselines/savi/ddppo/algo/ddp_utils.py:129-182). Returns None —
+        single-device execution — when only one device is available or the
+        env batch does not divide across the mesh."""
+        from avlen_tpu.parallel.mesh import make_mesh
+
+        tpu_cfg = self.config.TPU
+        mesh = make_mesh(tuple(tpu_cfg.MESH_AXES), tuple(tpu_cfg.MESH_SHAPE))
+        n = int(mesh.devices.size)
+        if n <= 1:
+            return None
+        if num_envs % n != 0:
+            logger.warning(
+                f"num_envs={num_envs} not divisible by mesh size {n}; "
+                "falling back to single-device training"
+            )
+            return None
+        logger.info(f"data-parallel training over {n} devices: {dict(mesh.shape)}")
+        return mesh
+
     def ensure_setup(self) -> None:
         """Lazy build: eval paths defer env/model construction until the
         checkpoint config is known, avoiding a full second compile."""

@@ -210,6 +210,7 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
             track=init_query_track(b),
             key=key,
         )
+        self.mesh = self._make_train_mesh(b)
         self._build_jits()
 
     # ------------------------------------------------------------------
@@ -270,7 +271,7 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
             )
             return collect_rollout_interactive(fns, carry, instr_bank, pe_table, c, num_steps)
 
-        def update_q(po, opt_state, traj, key):
+        def update_q(po, opt_state, traj, key, grad_reduce=lambda g: g):
             adv, ret = compute_gae(
                 traj["rewards"], traj["values_option"], traj["bootstrap_value"],
                 1.0 - traj["dones"].astype(jnp.float32), self.ppo_cfg.gamma, self.ppo_cfg.tau,
@@ -282,9 +283,10 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
             return ppo_update_interactive(
                 po, opt_state, traj, adv, ret, key, evaluate_step,
                 self.optimizer_q, self.ppo_cfg, unct_coef=cfg.RL.PPO.unct_coef,
+                grad_reduce=grad_reduce,
             )
 
-        def update_l(pd, opt_state, traj, replay_only=True):
+        def update_l(pd, opt_state, traj, replay_only=True, grad_reduce=lambda g: g):
             def evaluate_step(p, obs, pa, mf, mv, smf, smv, dialog, step, actions):
                 return dialog_p.apply(
                     p, obs, pa, mf, mv, smf, smv, dialog, step, actions,
@@ -292,7 +294,8 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
                 )
 
             return dialog_supervised_update(
-                pd, opt_state, traj, evaluate_step, self.optimizer_l, replay_only=replay_only
+                pd, opt_state, traj, evaluate_step, self.optimizer_l,
+                replay_only=replay_only, grad_reduce=grad_reduce,
             )
 
         def collect_dialog(pd, pb, carry):
@@ -303,9 +306,79 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
             )
 
         self._collect = jax.jit(collect, static_argnames=("deterministic",))
-        self._update_q = jax.jit(update_q)
         self._update_l = jax.jit(update_l, static_argnames=("replay_only",))
-        self._collect_dialog = jax.jit(collect_dialog)
+
+        # full-AVLEN superstep (rollout → π_q PPO [→ π_l replay CE]); on a
+        # multi-device mesh runs under shard_map with pmean gradient sync on
+        # BOTH optimizers (parallel/ddppo.py), the analogue of the two DDP
+        # wrappers agent/agent_vln (ddppo_trainer.py:583-585)
+        replay_store = bool(cfg.REPLAY_STORE)
+
+        def collect_ts(train_state, carry):
+            pg, pd, po, pb, _, _ = train_state
+            return collect(pg, pd, po, pb, carry)
+
+        def update_ts(train_state, traj, key, grad_reduce):
+            pg, pd, po, pb, opt_q, opt_l = train_state
+            po, opt_q, stats = update_q(po, opt_q, traj, key, grad_reduce)
+            if replay_store:
+                pd, opt_l, dialog_loss = update_l(
+                    pd, opt_l, traj, replay_only=True, grad_reduce=grad_reduce
+                )
+                stats = dict(stats, dialog_loss=dialog_loss)
+            return (pg, pd, po, pb, opt_q, opt_l), stats
+
+        # π_l dialog-pretraining superstep (oracle rollout → weighted CE)
+        def collect_dialog_ts(train_state, carry):
+            pd, _, pb = train_state
+            return collect_dialog(pd, pb, carry)
+
+        def update_dialog_ts(train_state, traj, key, grad_reduce):
+            pd, opt_l, pb = train_state
+            pd, opt_l, loss = update_l(
+                pd, opt_l, traj, replay_only=False, grad_reduce=grad_reduce
+            )
+            return (pd, opt_l, pb), {"dialog_loss": loss}
+
+        from avlen_tpu.parallel.ddppo import (
+            make_local_superstep,
+            make_sharded_superstep,
+            shard_pytree,
+        )
+
+        dialog_mode = self.policy_type == "dialog" or cfg.DIALOG_TRAINING
+        if self.mesh is not None:
+            # eval_shape traces the rollout eagerly, so only build the
+            # superstep for the active mode
+            if dialog_mode:
+                self._superstep_dialog, carry_spec = make_sharded_superstep(
+                    collect_dialog_ts, update_dialog_ts, self._dialog_train_state(),
+                    self.carry, self.mesh, num_steps,
+                )
+            else:
+                self._superstep, carry_spec = make_sharded_superstep(
+                    collect_ts, update_ts, self._train_state(), self.carry,
+                    self.mesh, num_steps,
+                )
+            self.carry = shard_pytree(self.carry, carry_spec, self.mesh)
+        else:
+            self._superstep = make_local_superstep(collect_ts, update_ts)
+            self._superstep_dialog = make_local_superstep(collect_dialog_ts, update_dialog_ts)
+
+    def _train_state(self):
+        return (
+            self.params_goal, self.params_dialog, self.params_option,
+            self.belief_params, self.opt_state_q, self.opt_state_l,
+        )
+
+    def _set_train_state(self, train_state) -> None:
+        (
+            self.params_goal, self.params_dialog, self.params_option,
+            self.belief_params, self.opt_state_q, self.opt_state_l,
+        ) = train_state
+
+    def _dialog_train_state(self):
+        return (self.params_dialog, self.opt_state_l, self.belief_params)
 
     # ------------------------------------------------------------------
     def train(self) -> None:
@@ -344,21 +417,14 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
             self.num_steps_done = int(resume.get("extra_state", {}).get("step", 0))
             ckpt_count = int(resume.get("_resume_index", 0))
 
+        train_state = self._train_state()
         with TensorboardWriter(cfg.TENSORBOARD_DIR) as writer:
             for update in range(cfg.NUM_UPDATES):
-                self.carry, traj = self._collect(
-                    self.params_goal, self.params_dialog, self.params_option,
-                    self.belief_params, self.carry,
-                )
                 key, sub = jax.random.split(key)
-                self.params_option, self.opt_state_q, stats = self._update_q(
-                    self.params_option, self.opt_state_q, traj, sub
+                train_state, self.carry, traj, stats = self._superstep(
+                    train_state, self.carry, sub
                 )
-                if cfg.REPLAY_STORE:
-                    self.params_dialog, self.opt_state_l, dialog_loss = self._update_l(
-                        self.params_dialog, self.opt_state_l, traj
-                    )
-                    writer.add_scalar("Policy/dialog_loss", float(dialog_loss), self.num_steps_done)
+                self._set_train_state(train_state)
                 jax.block_until_ready(stats["value_loss"])
 
                 rewards = np.asarray(traj["rewards"])
@@ -405,14 +471,16 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
         os.makedirs(cfg.TENSORBOARD_DIR, exist_ok=True)
         t_start = time.time()
         ckpt_count = 0
+        key = jax.random.key(cfg.SEED + 2)
+        train_state = self._dialog_train_state()
         with TensorboardWriter(cfg.TENSORBOARD_DIR) as writer:
             for update in range(cfg.NUM_UPDATES_DIALOG):
-                self.carry, traj = self._collect_dialog(
-                    self.params_dialog, self.belief_params, self.carry
+                key, sub = jax.random.split(key)
+                train_state, self.carry, traj, dstats = self._superstep_dialog(
+                    train_state, self.carry, sub
                 )
-                self.params_dialog, self.opt_state_l, loss = self._update_l(
-                    self.params_dialog, self.opt_state_l, traj, replay_only=False
-                )
+                self.params_dialog, self.opt_state_l, _ = train_state
+                loss = dstats["dialog_loss"]
                 jax.block_until_ready(loss)
                 self.num_steps_done += int(np.prod(np.asarray(traj["o_action"]).shape))
                 self.num_updates_done += 1

@@ -119,6 +119,7 @@ class SaviTrainer(BaseRLTrainer):
             belief=init_belief_state(b),
             key=key,
         )
+        self.mesh = self._make_train_mesh(b)
         self._build_jits()
 
     # ------------------------------------------------------------------
@@ -146,7 +147,42 @@ class SaviTrainer(BaseRLTrainer):
 
             return collect_rollout_smt(env._step_impl_noquery, act, val, belief_fn, carry, num_steps)
 
-        def update(params, opt_state, batch, key):
+        self._collect = jax.jit(collect, static_argnames=("deterministic",))
+
+        online_belief = belief_net is not None and bp_cfg.online_training
+        belief_optimizer = self.belief_optimizer if online_belief else None
+        location_targets = self._location_targets
+
+        def belief_train_step(belief_params, opt_state, batch, grad_reduce):
+            """MSE location regression on rollout steps with audio
+            (train_belief_predictor, ppo_trainer.py:959-1032)."""
+            t, b = batch.actions.shape
+            spec = batch.obs["spectrogram"].reshape(
+                (t * b,) + batch.obs["spectrogram"].shape[2:]
+            )
+            cat = batch.obs.get("category")
+            cat = cat.reshape((t * b, -1)) if cat is not None else None
+            target = location_targets(batch).reshape(t * b, 2)
+            weights = (jnp.abs(spec).sum(axis=(1, 2, 3)) != 0).astype(jnp.float32)
+
+            def loss_fn(p):
+                loc, _ = belief_net.apply(p, spec, cat)
+                err = ((loc - target) ** 2).sum(-1) * weights
+                return err.sum() / jnp.maximum(weights.sum(), 1.0)
+
+            loss, grads = jax.value_and_grad(loss_fn)(belief_params)
+            grads = grad_reduce(grads)
+            updates, opt_state = belief_optimizer.update(grads, opt_state, belief_params)
+            return optax.apply_updates(belief_params, updates), opt_state, loss
+
+        # one (rollout → GAE → PPO [→ belief MSE]) superstep; multi-chip runs
+        # it under shard_map with pmean gradient sync (parallel/ddppo.py)
+        def collect_ts(train_state, carry):
+            params, _, belief_params, _ = train_state
+            return collect(params, belief_params, carry)
+
+        def update_ts(train_state, batch, key, grad_reduce):
+            params, opt_state, belief_params, belief_opt = train_state
             adv, ret = compute_gae(
                 batch.rewards, batch.values, batch.bootstrap_value,
                 1.0 - batch.dones.astype(jnp.float32), ppo_cfg.gamma, ppo_cfg.tau,
@@ -158,30 +194,45 @@ class SaviTrainer(BaseRLTrainer):
 
                 return evaluate_sequence_smt(eval_step, obs, init_mem, masks, actions)
 
-            return ppo_update(
-                params, opt_state, batch, adv, ret, key, evaluate_actions, optimizer, ppo_cfg
+            params, opt_state, stats = ppo_update(
+                params, opt_state, batch, adv, ret, key, evaluate_actions,
+                optimizer, ppo_cfg, grad_reduce=grad_reduce,
             )
+            if online_belief:
+                belief_params, belief_opt, bloss = belief_train_step(
+                    belief_params, belief_opt, batch, grad_reduce
+                )
+                stats = dict(stats, belief_loss=bloss)
+            return (params, opt_state, belief_params, belief_opt), stats
 
-        self._collect = jax.jit(collect, static_argnames=("deterministic",))
-        self._update = jax.jit(update)
+        from avlen_tpu.parallel.ddppo import (
+            make_local_superstep,
+            make_sharded_superstep,
+            shard_pytree,
+        )
 
-        if belief_net is not None and bp_cfg.online_training:
-            belief_optimizer = self.belief_optimizer
+        if self.mesh is not None:
+            train_state_ex = self._train_state()
+            self._superstep, carry_spec = make_sharded_superstep(
+                collect_ts, update_ts, train_state_ex, self.carry,
+                self.mesh, num_steps,
+            )
+            self.carry = shard_pytree(self.carry, carry_spec, self.mesh)
+        else:
+            self._superstep = make_local_superstep(collect_ts, update_ts)
 
-            def belief_train_step(belief_params, opt_state, spectrograms, categories, target_loc, weights):
-                """MSE location regression on rollout steps with audio
-                (train_belief_predictor, ppo_trainer.py:959-1032)."""
+    def _train_state(self):
+        return (
+            self.params,
+            self.opt_state,
+            self.belief_params,
+            getattr(self, "belief_opt_state", None),
+        )
 
-                def loss_fn(p):
-                    loc, _ = belief_net.apply(p, spectrograms, categories)
-                    err = ((loc - target_loc) ** 2).sum(-1) * weights
-                    return err.sum() / jnp.maximum(weights.sum(), 1.0)
-
-                loss, grads = jax.value_and_grad(loss_fn)(belief_params)
-                updates, opt_state = belief_optimizer.update(grads, opt_state, belief_params)
-                return optax.apply_updates(belief_params, updates), opt_state, loss
-
-            self._belief_train_step = jax.jit(belief_train_step)
+    def _set_train_state(self, train_state) -> None:
+        self.params, self.opt_state, self.belief_params, belief_opt = train_state
+        if belief_opt is not None:
+            self.belief_opt_state = belief_opt
 
     # ------------------------------------------------------------------
     def train(self) -> None:
@@ -203,30 +254,14 @@ class SaviTrainer(BaseRLTrainer):
             self.num_steps_done = int(resume.get("extra_state", {}).get("step", 0))
             ckpt_count = int(resume.get("_resume_index", 0))
 
+        train_state = self._train_state()
         with TensorboardWriter(cfg.TENSORBOARD_DIR) as writer:
             for update in range(cfg.NUM_UPDATES):
-                self.carry, batch = self._collect(self.params, self.belief_params, self.carry)
                 key, sub = jax.random.split(key)
-                self.params, self.opt_state, stats = self._update(
-                    self.params, self.opt_state, batch, sub
+                train_state, self.carry, batch, stats = self._superstep(
+                    train_state, self.carry, sub
                 )
-
-                if (
-                    self.use_belief_predictor
-                    and cfg.RL.PPO.BELIEF_PREDICTOR.online_training
-                ):
-                    t, b = batch.actions.shape
-                    spec = batch.obs["spectrogram"].reshape((t * b,) + batch.obs["spectrogram"].shape[2:])
-                    cat = batch.obs.get("category")
-                    cat = cat.reshape((t * b, -1)) if cat is not None else None
-                    target = self._location_targets(batch)
-                    weights = (jnp.abs(spec).sum(axis=(1, 2, 3)) != 0).astype(jnp.float32)
-                    self.belief_params, self.belief_opt_state, bloss = self._belief_train_step(
-                        self.belief_params, self.belief_opt_state, spec, cat,
-                        target.reshape(t * b, 2), weights,
-                    )
-                    writer.add_scalar("Policy/belief_loss", float(bloss), self.num_steps_done)
-
+                self._set_train_state(train_state)
                 jax.block_until_ready(stats["value_loss"])
 
                 rewards = np.asarray(batch.rewards)
