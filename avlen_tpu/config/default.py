@@ -329,6 +329,11 @@ _TC.TASK.TOP_DOWN_MAP.TYPE = "TopDownMap"
 
 _TC.DATASET = CN()
 _TC.DATASET.TYPE = "AudioNav"
+# Asset source: "synthetic" = procedurally generated worlds
+# (avlen_tpu/sim/synthetic.py); "reference" = the reference's on-disk data
+# tree — metadata points.txt/graph.pkl, binaural RIR wav trees, frame-cache
+# pickles, content/{scene}.json.gz episode shards (avlen_tpu/data/reference.py)
+_TC.DATASET.SOURCE = "synthetic"
 _TC.DATASET.SPLIT = "train"
 _TC.DATASET.VERSION = "v1"
 _TC.DATASET.SCENES_DIR = "data/scene_datasets"

@@ -52,19 +52,46 @@ def sensors_from_task(tc: ConfigNode) -> Tuple[str, ...]:
     return tuple(sensors)
 
 
-def construct_batched_env(
+def build_world_from_config(
     config: ConfigNode,
-    num_envs: Optional[int] = None,
     with_rgb: bool = False,
     with_depth: bool = True,
     seed: Optional[int] = None,
-    extra_sensors: Tuple[str, ...] = (),
-) -> BatchedAudioNavEnv:
+):
+    """(bank, tables, episodes) from either asset source.
+
+    DATASET.SOURCE "synthetic" generates procedural worlds;
+    "reference" ingests the reference's on-disk tree (metadata graphs,
+    binaural RIR wav trees, scene-observation pickles, json.gz episode
+    shards) through avlen_tpu/data/reference.py.
+    """
     tc = config.TASK_CONFIG
-    b = num_envs or config.NUM_PROCESSES
+    if tc.DATASET.SOURCE == "reference":
+        from avlen_tpu.data.reference import ReferenceDataConfig, build_reference_scene_bank
+
+        audio = tc.SIMULATOR.AUDIO
+        content = list(tc.DATASET.CONTENT_SCENES)
+        data_path = tc.DATASET.DATA_PATH.format(
+            version=tc.DATASET.VERSION, split=tc.DATASET.SPLIT
+        )
+        ref_cfg = ReferenceDataConfig(
+            metadata_dir=f"{audio.METADATA_DIR}/{tc.SIMULATOR.SCENE_DATASET}",
+            binaural_rir_dir=f"{audio.BINAURAL_RIR_DIR}/{tc.SIMULATOR.SCENE_DATASET}",
+            source_sound_dir=audio.SOURCE_SOUND_DIR,
+            data_path=data_path,
+            scene_observations_dir=(
+                f"{tc.SIMULATOR.SCENE_OBSERVATION_DIR}/{tc.SIMULATOR.SCENE_DATASET}"
+                if tc.SIMULATOR.USE_RENDERED_OBSERVATIONS else None
+            ),
+            sampling_rate=audio.RIR_SAMPLING_RATE,
+            grid_size=tc.SIMULATOR.GRID_SIZE,
+            max_rir_length=audio.MAX_RIR_LENGTH,
+            scenes=None if content == ["*"] else content,
+        )
+        return build_reference_scene_bank(ref_cfg)
+
     syn = tc.DATASET.SYNTHETIC
     rng = np.random.RandomState(seed if seed is not None else syn.SEED)
-
     bank, tables = make_scene_bank(
         rng,
         num_scenes=syn.NUM_SCENES,
@@ -87,6 +114,22 @@ def construct_batched_env(
         max_hops=syn.MAX_HOPS,
         with_distractor=tc.SIMULATOR.AUDIO.HAS_DISTRACTOR_SOUND,
     )
+    return bank, tables, episodes
+
+
+def construct_batched_env(
+    config: ConfigNode,
+    num_envs: Optional[int] = None,
+    with_rgb: bool = False,
+    with_depth: bool = True,
+    seed: Optional[int] = None,
+    extra_sensors: Tuple[str, ...] = (),
+) -> BatchedAudioNavEnv:
+    tc = config.TASK_CONFIG
+    b = num_envs or config.NUM_PROCESSES
+    bank, tables, episodes = build_world_from_config(
+        config, with_rgb=with_rgb, with_depth=with_depth, seed=seed
+    )
     packed = pack_episodes(episodes, num_envs=b)
 
     sensors = list(sensors_from_task(tc))
@@ -101,6 +144,11 @@ def construct_batched_env(
     for s in extra_sensors:
         if s not in sensors:
             sensors.append(s)
+    # reference banks without cached frames can't serve visual sensors
+    if bank.rgb is None:
+        sensors = [s for s in sensors if s != "rgb"]
+    if bank.depth is None:
+        sensors = [s for s in sensors if s != "depth"]
 
     env_cfg = EnvConfig(
         max_episode_steps=tc.ENVIRONMENT.MAX_EPISODE_STEPS,

@@ -1,0 +1,176 @@
+"""Round-trip tests for the reference-format data ingestion
+(avlen_tpu/data/reference.py) against the fabricated fixture tree in
+tests/data/reference_tree (see tests/data/make_reference_fixtures.py)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from avlen_tpu.data.reference import (
+    HostRIRStore,
+    ReferenceDataConfig,
+    build_reference_scene_bank,
+    load_frame_cache,
+    load_reference_episodes,
+    load_rir_tree,
+    load_scene_graph,
+    load_sound_dir,
+    pack_rir_tree,
+)
+
+ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "reference_tree")
+SCENE_DIR = os.path.join(ROOT, "metadata", "mp3d", "sceneA")
+RIR_DIR = os.path.join(ROOT, "binaural_rirs", "mp3d", "sceneA")
+SOUND_DIR = os.path.join(ROOT, "sounds", "1s_all")
+OBS_PKL = os.path.join(ROOT, "scene_observations", "mp3d", "sceneA.pkl")
+DATA_PATH = os.path.join(ROOT, "datasets", "semantic_audionav", "v1", "train", "train.json.gz")
+
+
+@pytest.fixture(scope="module", autouse=True)
+def ensure_fixtures():
+    if not os.path.exists(SCENE_DIR):
+        from tests.data.make_reference_fixtures import main
+
+        main(ROOT)
+
+
+def test_scene_graph_loads_from_pickle():
+    g = load_scene_graph(SCENE_DIR)
+    assert g.num_nodes == 4
+    assert g.edges.shape[0] == 4
+    np.testing.assert_allclose(g.positions[1], [1.0, 0.1, 0.0])
+
+
+def test_rir_tree_dense_loads_wavs():
+    rirs = load_rir_tree([RIR_DIR], num_nodes=4, sampling_rate=4000)
+    assert rirs.shape[:4] == (1, 4, 4, 4)
+    assert rirs.shape[5] == 2
+    # the direct-path spike written by the generator survives
+    assert rirs[0, 0, 0, 1].max() > 0.01
+    # all 64 pairs present and non-identical across azimuths
+    assert (np.abs(rirs).sum(axis=(4, 5)) > 0).all()
+
+
+def test_host_rir_store_matches_dense(tmp_path):
+    dense = load_rir_tree([RIR_DIR], num_nodes=4, sampling_rate=4000)
+    prefix = str(tmp_path / "rirs")
+    pack_rir_tree([RIR_DIR], 4, prefix, sampling_rate=4000)
+    store = HostRIRStore(prefix + ".npz")
+    assert store.length == dense.shape[4]
+    scene = np.zeros((8,), np.int32)
+    az = np.arange(8, dtype=np.int32) % 4
+    recv = np.arange(8, dtype=np.int32) % 4
+    src = (np.arange(8, dtype=np.int32) * 3) % 4
+    got = store.gather_host(scene, az, recv, src)
+    want = dense[scene, az, recv, src]
+    np.testing.assert_allclose(got, want, atol=0)
+    # device path through io_callback inside jit
+    got_dev = jax.jit(store.gather)(
+        jnp.asarray(scene), jnp.asarray(az), jnp.asarray(recv), jnp.asarray(src)
+    )
+    np.testing.assert_allclose(np.asarray(got_dev), want, atol=0)
+
+
+def test_frame_cache_round_trip():
+    import pickle
+
+    rgb, depth, semantic = load_frame_cache(OBS_PKL, num_nodes=4)
+    assert rgb.shape == (4, 4, 16, 16, 3) and rgb.dtype == np.uint8
+    assert depth.shape == (4, 4, 16, 16, 1)
+    assert semantic is None
+    with open(OBS_PKL, "rb") as f:
+        raw = pickle.load(f)
+    np.testing.assert_array_equal(rgb[2, 1], raw[(2, 90)]["rgb"])
+    np.testing.assert_allclose(depth[3, 3], raw[(3, 270)]["depth"])
+
+
+def test_episode_loading_resolves_nodes_and_fields():
+    g = load_scene_graph(SCENE_DIR)
+    names, _ = load_sound_dir(SOUND_DIR, 4000)
+    eps = load_reference_episodes(DATA_PATH, {"sceneA": g}, names)
+    assert len(eps) == 3  # 1 top-level + 2 content-shard episodes
+    by_id = {e.episode_id: e for e in eps}
+
+    e0 = by_id["0"]
+    assert (e0.start_node, e0.goal_node) == (0, 3)
+    assert e0.start_rot_idx == 0
+    assert e0.sound_id == names.index("telephone.wav")
+    assert e0.view_point_nodes == [3]
+    assert e0.geodesic_distance == 1.0 and e0.num_action == 3
+
+    e1 = by_id["1"]
+    assert (e1.start_node, e1.goal_node) == (1, 2)
+    assert e1.start_rot_idx == 1  # 90° quaternion
+    assert e1.offset == 5 and e1.duration == 30
+    assert e1.distractor_node == 0
+    assert e1.distractor_sound_id == names.index("telephone.wav")
+    assert e1.sound_id == names.index("water.wav")
+
+    e2 = by_id["2"]
+    assert e2.start_rot_idx == 3  # 270° quaternion
+    # category names map through CATEGORY_INDEX_MAPPING
+    from avlen_tpu.sim.mp3d_utils import CATEGORY_INDEX_MAPPING
+
+    assert e0.category == CATEGORY_INDEX_MAPPING["chair"]
+    assert e2.category == CATEGORY_INDEX_MAPPING["cushion"]
+
+
+def _reference_config(extra=()):
+    import avlen_tpu.rl.trainers  # noqa: F401
+    from avlen_tpu.config import get_config
+
+    opts = [
+        "TASK_CONFIG.DATASET.SOURCE", "reference",
+        "TASK_CONFIG.DATASET.DATA_PATH", DATA_PATH,
+        "TASK_CONFIG.SIMULATOR.SCENE_DATASET", "mp3d",
+        "TASK_CONFIG.SIMULATOR.AUDIO.METADATA_DIR", os.path.join(ROOT, "metadata"),
+        "TASK_CONFIG.SIMULATOR.AUDIO.BINAURAL_RIR_DIR", os.path.join(ROOT, "binaural_rirs"),
+        "TASK_CONFIG.SIMULATOR.AUDIO.SOURCE_SOUND_DIR", SOUND_DIR,
+        "TASK_CONFIG.SIMULATOR.SCENE_OBSERVATION_DIR", os.path.join(ROOT, "scene_observations"),
+        "TASK_CONFIG.SIMULATOR.AUDIO.RIR_SAMPLING_RATE", "4000",
+        "TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS", "10",
+        "NUM_PROCESSES", "2",
+        "NUM_UPDATES", "1",
+        "RL.PPO.num_steps", "4",
+        "RL.PPO.num_mini_batch", "1",
+        "RL.PPO.ppo_epoch", "1",
+        "RL.PPO.hidden_size", "32",
+        "LOG_INTERVAL", "1",
+        "CHECKPOINT_INTERVAL", "1000000",
+    ] + list(extra)
+    return get_config(opts=opts)
+
+
+def test_builder_constructs_env_from_reference_tree():
+    from avlen_tpu.sim.builder import construct_batched_env
+
+    cfg = _reference_config()
+    env = construct_batched_env(cfg, with_rgb=True, with_depth=True)
+    assert env.bank.rgb is not None and env.bank.rgb.shape[1] == 4  # nodes
+    state, obs = env.reset()
+    assert "spectrogram" in obs and np.isfinite(np.asarray(obs["spectrogram"])).all()
+    assert "rgb" in obs and obs["rgb"].shape[-3:] == (16, 16, 3)
+    step = jax.jit(env._step_impl_noquery)
+    for a in (1, 2, 1):
+        state, out = step(state, jnp.full((env.num_envs,), a, jnp.int32))
+    assert np.isfinite(np.asarray(out.reward)).all()
+    # real RIR audio reaches the spectrogram sensor
+    assert float(np.abs(np.asarray(out.obs["spectrogram"])).sum()) > 0
+
+
+def test_avnav_trains_from_reference_tree(tmp_path):
+    from avlen_tpu.core.registry import registry
+
+    cfg = _reference_config(["TRAINER_NAME", "AVNavTrainer"])
+    cfg.defrost()
+    cfg.MODEL_DIR = str(tmp_path)
+    cfg.CHECKPOINT_FOLDER = os.path.join(str(tmp_path), "data")
+    cfg.TENSORBOARD_DIR = os.path.join(str(tmp_path), "tb")
+    cfg.LOG_FILE = ""
+    cfg.freeze()
+    trainer = registry.get_trainer("AVNavTrainer")(cfg)
+    trainer.train()
+    assert trainer.num_updates_done == 1
