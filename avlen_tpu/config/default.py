@@ -80,7 +80,7 @@ _C.RL.SLACK_REWARD = -0.01
 _C.RL.WITH_TIME_PENALTY = True
 _C.RL.WITH_DISTANCE_REWARD = True
 _C.RL.DISTANCE_REWARD_SCALE = 1.0
-_C.RL.TIME_DIFF = False
+_C.RL.TIME_DIFF = False  # schema parity; dead in the reference too (grep: only declared)
 _C.RL.QUERY_REWARD = -1.0
 _C.RL.CONSECUTIVE_REWARD = -0.5
 _C.RL.CONSECUTIVE_CONSTRAINT_REWARD = False
@@ -88,7 +88,9 @@ _C.RL.QUERY_REWARD_DISTANCE = -1.0
 _C.RL.WITH_QUERY_CONSTRAINT = True
 _C.RL.NUM_TOTAL_QUERY = 5
 _C.RL.SOFT_QUERY_REWARD = False
-_C.RL.SOFT_QUERY_REWARD_MAX = -0.1
+_C.RL.SOFT_QUERY_REWARD_MAX = -0.1  # schema parity; only in commented-out reference code (environments.py:117)
+# distance-sampled query reward (environments.py:126-133): on query, draw
+# s ~ gaussian(MEAN, SD) or beta(ALPHA, BETA); if dtg*s <= 3 add QUERY_REWARD_DISTANCE
 _C.RL.DISTANCE_DISTRIBUTION_TYPE = "gaussian"
 _C.RL.WITH_DISTANCE_CONSTRAINT = False
 _C.RL.MEAN = 0.0

@@ -137,16 +137,22 @@ class EpisodeIterator:
             if self.shuffle:
                 self._rng.shuffle(scene_order)
             if self.max_scene_repeat_episodes > 0:
-                # interleave chunks of each scene
-                chunks: List[List[Episode]] = []
+                # force a scene switch after max_scene_repeat_episodes
+                # (habitat dataset.py:310-356): deal one chunk per scene in
+                # round-robin, so same-scene runs never exceed the limit
+                # while more than one scene has episodes left
+                queues: Dict[int, List[List[Episode]]] = {}
                 for s in scene_order:
                     lst = by_scene[s]
-                    for i in range(0, len(lst), self.max_scene_repeat_episodes):
-                        chunks.append(lst[i : i + self.max_scene_repeat_episodes])
+                    queues[s] = [
+                        lst[i : i + self.max_scene_repeat_episodes]
+                        for i in range(0, len(lst), self.max_scene_repeat_episodes)
+                    ]
                 order: List[Episode] = []
-                while chunks:
-                    nxt = chunks.pop(0)
-                    order.extend(nxt)
+                while any(queues.values()):
+                    for s in scene_order:
+                        if queues[s]:
+                            order.extend(queues[s].pop(0))
                 eps = order
             else:
                 eps = [e for s in scene_order for e in by_scene[s]]

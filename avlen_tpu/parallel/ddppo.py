@@ -107,7 +107,7 @@ def make_sharded_superstep(
         out_specs=(P(), carry_spec, batch_spec, P()),
         check_vma=False,
     )
-    return jax.jit(step, donate_argnums=(1,)), carry_spec
+    return jax.jit(step), carry_spec
 
 
 def make_local_superstep(collect: Callable, update: Callable):
@@ -121,7 +121,7 @@ def make_local_superstep(collect: Callable, update: Callable):
         train_state, stats = update(train_state, batch, update_key, lambda g: g)
         return train_state, carry, batch, stats
 
-    return jax.jit(local_step, donate_argnums=(1,))
+    return jax.jit(local_step)
 
 
 def shard_pytree(tree, spec_tree, mesh: Mesh):

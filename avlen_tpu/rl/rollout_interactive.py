@@ -104,6 +104,14 @@ class InteractiveConfig:
     enforced_gap: int = 1
     uniform_interval: int = 50
     random_prob: float = 0.03
+    # distance-sampled query reward draw (environments.py:126-133); the env
+    # applies RewardConfig.query_reward_distance when dtg * sample <= 3
+    with_distance_constraint: bool = False
+    distance_distribution_type: str = "gaussian"  # gaussian | beta
+    dist_mean: float = 0.0
+    dist_sd: float = 0.5
+    dist_alpha: float = 2.0
+    dist_beta: float = 2.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -133,7 +141,7 @@ def collect_rollout_interactive(
     init_memories = (carry.mem_goal, carry.mem_option, carry.mem_vln, carry.mem_vln_dialog)
 
     def step_fn(c: InteractiveCarry, _):
-        key, k1, k2, k3, k4 = jax.random.split(c.key, 5)
+        key, k1, k2, k3, k4, k5 = jax.random.split(c.key, 6)
         new_ep = c.masks == 0
         t = c.track
         b = c.masks.shape[0]
@@ -241,9 +249,18 @@ def collect_rollout_interactive(
         actions = jnp.where(queried, a_q, a_goal)
         o_mask = jnp.where(queried & oracle_stop, 0, 1).astype(jnp.float32)
 
+        if cfg.with_distance_constraint:
+            if cfg.distance_distribution_type == "gaussian":
+                dist_sample = cfg.dist_mean + cfg.dist_sd * jax.random.normal(k5, (b,))
+            else:
+                dist_sample = jax.random.beta(k5, cfg.dist_alpha, cfg.dist_beta, (b,))
+        else:
+            dist_sample = jnp.zeros((b,), jnp.float32)
+
         env_state2, out = fns.env_step(
             env_state, actions,
-            QueryInfo(is_queried=queried, query_num=query_count, cons_reward=cons),
+            QueryInfo(is_queried=queried, query_num=query_count, cons_reward=cons,
+                      dist_sample=dist_sample),
         )
 
         # ---- dialog window bookkeeping (ppo_trainer.py:760-772)

@@ -28,7 +28,7 @@ from avlen_tpu.models.policy import AudioNavBaselineNet, Policy
 from avlen_tpu.rl.gae import compute_gae
 from avlen_tpu.rl.ppo import PPOConfig, make_optimizer, ppo_update
 from avlen_tpu.rl.rollout import CarryState, collect_rollout
-from avlen_tpu.rl.trainers.base import BaseRLTrainer
+from avlen_tpu.rl.trainers.base import METRIC_BLACKLIST, BaseRLTrainer
 from avlen_tpu.sim.builder import construct_batched_env
 from avlen_tpu.utils.checkpoint import save_checkpoint
 from avlen_tpu.utils.logging import logger
@@ -146,7 +146,11 @@ class AVNavTrainer(BaseRLTrainer):
         if resume is not None:
             self.params = jax.tree.map(jnp.asarray, resume["state_dict"])
             if "opt_state" in resume:
-                self.opt_state = jax.tree.map(jnp.asarray, resume["opt_state"])
+                from avlen_tpu.utils.checkpoint import restore_into
+
+                # restore the msgpack state dict into the typed optax pytree
+                # so Adam moments continue bit-exactly (ddp_utils.py:70-122)
+                self.opt_state = restore_into(self.opt_state, resume["opt_state"])
             self.num_steps_done = int(resume.get("extra_state", {}).get("step", 0))
             ckpt_count = int(resume.get("_resume_index", 0))
 
@@ -167,7 +171,7 @@ class AVNavTrainer(BaseRLTrainer):
 
                 rewards = np.asarray(batch.rewards)
                 dones = np.asarray(batch.dones)
-                metrics = {k: np.asarray(v) for k, v in batch.metrics.items()}
+                metrics = {k: np.asarray(v) for k, v in batch.metrics.items() if k not in METRIC_BLACKLIST}
                 for t in range(rewards.shape[0]):
                     reward_acc += rewards[t]
                     for b in np.nonzero(dones[t])[0]:
@@ -201,7 +205,8 @@ class AVNavTrainer(BaseRLTrainer):
                     for k, v in (mean_stats.items() if window else []):
                         writer.add_scalar(f"Metrics/{k}", v, self.num_steps_done)
 
-                if (update + 1) % max(cfg.CHECKPOINT_INTERVAL // max(self.num_steps * self.env.num_envs, 1), 1) == 0 or update + 1 == cfg.NUM_UPDATES:
+                # every CHECKPOINT_INTERVAL *updates* (ddppo_trainer.py:1191)
+                if (update + 1) % cfg.CHECKPOINT_INTERVAL == 0 or update + 1 == cfg.NUM_UPDATES:
                     self.save_checkpoint(f"ckpt.{ckpt_count}.pth")
                     ckpt_count += 1
 
@@ -231,82 +236,53 @@ class AVNavTrainer(BaseRLTrainer):
 
     # ------------------------------------------------------------------
     def _generate_eval_videos(self, batch, writer, checkpoint_index: int, max_videos: int = 2) -> None:
-        """Top-down-map episode videos at eval (generate_video semantics,
-        common/utils.py:187-238), for episodes fully contained in this
-        rollout chunk of env slot 0."""
-        metrics = {k: np.asarray(v) for k, v in batch.metrics.items()}
-        if "agent_node" not in metrics or not self.config.VIDEO_OPTION:
-            return
-        from avlen_tpu.utils.maps import draw_top_down_map
-        from avlen_tpu.utils.video import generate_video
-
-        dones = np.asarray(batch.dones)
-        masks = np.asarray(batch.masks)
-        made = 0
-        for b in range(dones.shape[1]):
-            if made >= max_videos:
-                break
-            start = 0
-            for t in range(dones.shape[0]):
-                if masks[t, b] == 0:
-                    start = t
-                if dones[t, b]:
-                    scene = int(metrics["agent_scene"][t, b])
-                    tbl = self.env.scene_tables[scene]
-                    edges = np.array(
-                        [[u, v] for u in range(tbl.num_nodes) for v in tbl.neighbors[u] if v >= 0],
-                        np.int32,
-                    )
-                    trail = [int(x) for x in metrics["agent_node"][start : t + 1, b]]
-                    frames = [
-                        draw_top_down_map(
-                            tbl.positions, edges, trail[i], int(metrics["agent_rot"][start + i, b]),
-                            int(metrics["goal_node"][t, b]), trail=trail[: i + 1],
-                        )
-                        for i in range(len(trail))
-                    ]
-                    generate_video(
-                        self.config.VIDEO_OPTION, self.config.VIDEO_DIR, frames,
-                        episode_id=f"{b}_{t}", checkpoint_idx=checkpoint_index,
-                        metrics={"spl": float(metrics["spl"][t, b]), "success": float(metrics["success"][t, b])},
-                        tb_writer=writer,
-                    )
-                    made += 1
-                    start = t + 1
-                    if made >= max_videos:
-                        break
+        self.generate_eval_videos(
+            batch.dones, batch.masks, batch.metrics, writer, checkpoint_index, max_videos
+        )
 
     def _eval_checkpoint(self, checkpoint_path: str, writer, checkpoint_index: int = 0) -> Dict[str, float]:
         ckpt = self.load_checkpoint(checkpoint_path)
         self.reconfigure_from_checkpoint(ckpt)
+        from avlen_tpu.rl.trainers.base import exact_once_deal
+
         params = jax.tree.map(jnp.asarray, ckpt["state_dict"])
-        count = self.config.TEST_EPISODE_COUNT
+        num_episodes = int(self.env.eps["scene"].shape[0])
+        count = min(self.config.TEST_EPISODE_COUNT, num_episodes)
         stats: Dict[str, list] = collections.defaultdict(list)
-        state, obs = self.env.reset()
         b = self.env.num_envs
+        state, obs = self.env.reset(order=jnp.asarray(exact_once_deal(num_episodes, b)))
         carry = CarryState(
             env_state=state, obs=obs,
             hidden=jnp.zeros((b, self.config.RL.PPO.hidden_size), jnp.float32),
             masks=jnp.zeros((b,), jnp.float32),
             key=jax.random.key(self.config.SEED + 7),
         )
-        episodes = 0
+        seen: set = set()
         first_chunk = True
-        while episodes < count:
+        max_rollouts = 10 + 4 * (
+            -(-num_episodes // b)
+        ) * -(-self.env.config.max_episode_steps // max(self.num_steps, 1))
+        for _ in range(max_rollouts):
+            if len(seen) >= count:
+                break
             carry, batch = self._collect(params, carry, deterministic=True)
             if first_chunk:
                 self._generate_eval_videos(batch, writer, checkpoint_index)
                 first_chunk = False
             dones = np.asarray(batch.dones)
+            ep_ids = np.asarray(batch.metrics["episode"])
             metrics = {
-                k: np.asarray(v) for k, v in batch.metrics.items() if not k.startswith("agent_") and k != "goal_node"
+                k: np.asarray(v) for k, v in batch.metrics.items()
+                if k not in METRIC_BLACKLIST
             }
             for t, bi in zip(*np.nonzero(dones)):
-                if episodes >= count:
-                    break
+                eid = int(ep_ids[t, bi])
+                if eid in seen or len(seen) >= count:
+                    continue
+                seen.add(eid)
                 for k in metrics:
                     stats[k].append(metrics[k][t, bi])
-                episodes += 1
+        self._last_eval_episode_ids = sorted(seen)
         means = {k: float(np.mean(v)) for k, v in stats.items()}
         logger.info(f"eval ckpt {checkpoint_index}: " + ", ".join(f"{k}={v:.3f}" for k, v in means.items()))
         for k, v in means.items():

@@ -23,7 +23,7 @@ from avlen_tpu.rl.gae import compute_gae
 from avlen_tpu.rl.ppo import make_optimizer, ppo_update
 from avlen_tpu.rl.rollout import RolloutBatch
 from avlen_tpu.rl.trainers.avnav import ppo_config_from
-from avlen_tpu.rl.trainers.base import BaseRLTrainer
+from avlen_tpu.rl.trainers.base import METRIC_BLACKLIST, BaseRLTrainer
 from avlen_tpu.sim.builder import construct_batched_env
 from avlen_tpu.sim.mapnav import BatchedMapNavEnv, MapNavConfig
 from avlen_tpu.utils.checkpoint import save_checkpoint
@@ -155,7 +155,7 @@ class AVWanTrainer(BaseRLTrainer):
 
                 rewards = np.asarray(batch.rewards)
                 dones = np.asarray(batch.dones)
-                metrics = {k: np.asarray(v) for k, v in batch.metrics.items()}
+                metrics = {k: np.asarray(v) for k, v in batch.metrics.items() if k not in METRIC_BLACKLIST}
                 for t_i in range(rewards.shape[0]):
                     reward_acc += rewards[t_i]
                     for b_i in np.nonzero(dones[t_i])[0]:
@@ -176,11 +176,12 @@ class AVWanTrainer(BaseRLTrainer):
                     for k, v in stats.items():
                         writer.add_scalar(f"Policy/{k}", float(v), self.num_steps_done)
 
-                interval = max(cfg.CHECKPOINT_INTERVAL // max(self.num_steps * self.env.num_envs, 1), 1)
-                if (update + 1) % interval == 0 or update + 1 == cfg.NUM_UPDATES:
+                # every CHECKPOINT_INTERVAL *updates* (ddppo_trainer.py:1191)
+                if (update + 1) % cfg.CHECKPOINT_INTERVAL == 0 or update + 1 == cfg.NUM_UPDATES:
                     save_checkpoint(
                         cfg.CHECKPOINT_FOLDER, f"ckpt.{ckpt_count}.pth",
-                        {"state_dict": self.params, "config": cfg.to_dict(),
+                        {"state_dict": self.params, "opt_state": self.opt_state,
+                         "config": cfg.to_dict(),
                          "extra_state": {"step": self.num_steps_done}},
                     )
                     ckpt_count += 1
@@ -198,7 +199,7 @@ class AVWanTrainer(BaseRLTrainer):
         while episodes < count:
             carry, batch = self._collect(params, *carry, deterministic=True)
             dones = np.asarray(batch.dones)
-            metrics = {k: np.asarray(v) for k, v in batch.metrics.items()}
+            metrics = {k: np.asarray(v) for k, v in batch.metrics.items() if k not in METRIC_BLACKLIST}
             for t, bi in zip(*np.nonzero(dones)):
                 if episodes >= count:
                     break

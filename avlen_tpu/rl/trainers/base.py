@@ -18,6 +18,37 @@ from avlen_tpu.utils.logging import logger
 from avlen_tpu.utils.tb import TensorboardWriter
 
 
+# step-metric keys that are bookkeeping, not scalar performance measures
+# (the reference blacklists map-like info in _extract_scalars_from_info,
+# savi/ppo/ppo_trainer.py:277-303)
+METRIC_BLACKLIST = frozenset(
+    {"episode", "agent_node", "agent_rot", "agent_scene", "goal_node"}
+)
+
+
+def scalar_metrics(metrics: Dict[str, Any]) -> Dict[str, Any]:
+    return {k: v for k, v in metrics.items() if k not in METRIC_BLACKLIST}
+
+
+def exact_once_deal(num_episodes: int, num_envs: int):
+    """Deal episode indices round-robin across env slots for an exactly-once
+    eval pass (the fixed-shape analogue of the reference's per-process eval
+    splits + pause-on-done, base_trainer.py:185-289). Slots whose stream is
+    shorter than the longest wrap onto their own episodes; the caller dedupes
+    by episode id."""
+    import numpy as np
+
+    per = max(-(-num_episodes // num_envs), 1)
+    order = np.zeros((num_envs, per), np.int32)
+    ids = np.arange(num_episodes, dtype=np.int32)
+    for b in range(num_envs):
+        slot = ids[b::num_envs]
+        if slot.size == 0:
+            slot = ids
+        order[b] = np.resize(slot, per)
+    return order
+
+
 class BaseRLTrainer:
     def __init__(self, config: ConfigNode):
         self.config = config
@@ -127,6 +158,57 @@ class BaseRLTrainer:
             if self._setup_done:
                 self._setup()
         self.ensure_setup()
+
+    def generate_eval_videos(
+        self, dones, masks, metrics, writer, checkpoint_index: int, max_videos: int = 2
+    ) -> None:
+        """Top-down-map episode videos at eval (generate_video semantics,
+        common/utils.py:187-238) for episodes fully contained in the rollout
+        chunk. Requires the agent-trace metrics recorded when VIDEO_OPTION is
+        set (EnvConfig.record_pose_info)."""
+        import numpy as np
+
+        if "agent_node" not in metrics or not self.config.VIDEO_OPTION:
+            return
+        from avlen_tpu.utils.maps import draw_top_down_map
+        from avlen_tpu.utils.video import generate_video
+
+        dones = np.asarray(dones)
+        masks = np.asarray(masks)
+        metrics = {k: np.asarray(v) for k, v in metrics.items()}
+        made = 0
+        for b in range(dones.shape[1]):
+            if made >= max_videos:
+                break
+            start = 0
+            for t in range(dones.shape[0]):
+                if masks[t, b] == 0:
+                    start = t
+                if dones[t, b]:
+                    scene = int(metrics["agent_scene"][t, b])
+                    tbl = self.env.scene_tables[scene]
+                    edges = np.array(
+                        [[u, v] for u in range(tbl.num_nodes) for v in tbl.neighbors[u] if v >= 0],
+                        np.int32,
+                    )
+                    trail = [int(x) for x in metrics["agent_node"][start : t + 1, b]]
+                    frames = [
+                        draw_top_down_map(
+                            tbl.positions, edges, trail[i], int(metrics["agent_rot"][start + i, b]),
+                            int(metrics["goal_node"][t, b]), trail=trail[: i + 1],
+                        )
+                        for i in range(len(trail))
+                    ]
+                    generate_video(
+                        self.config.VIDEO_OPTION, self.config.VIDEO_DIR, frames,
+                        episode_id=f"{b}_{t}", checkpoint_idx=checkpoint_index,
+                        metrics={"spl": float(metrics["spl"][t, b]), "success": float(metrics["success"][t, b])},
+                        tb_writer=writer,
+                    )
+                    made += 1
+                    start = t + 1
+                    if made >= max_videos:
+                        break
 
     def percent_done(self) -> float:
         return self.num_updates_done / max(self.config.NUM_UPDATES, 1)

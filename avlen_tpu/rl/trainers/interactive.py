@@ -61,7 +61,7 @@ from avlen_tpu.rl.rollout_interactive import (
     sinusoidal_pe,
 )
 from avlen_tpu.rl.trainers.avnav import ppo_config_from
-from avlen_tpu.rl.trainers.base import BaseRLTrainer
+from avlen_tpu.rl.trainers.base import METRIC_BLACKLIST, BaseRLTrainer
 from avlen_tpu.sim.builder import construct_batched_env
 from avlen_tpu.utils.checkpoint import save_checkpoint
 from avlen_tpu.utils.logging import logger
@@ -194,6 +194,12 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
             query_within_radius=cfg.QUERY_WITHIN_RADIUS,
             oracle_when_queried=cfg.ORACLE_WHEN_QUERIED,
             allow_stop=cfg.ALLOW_STOP,
+            with_distance_constraint=cfg.RL.WITH_DISTANCE_CONSTRAINT,
+            distance_distribution_type=cfg.RL.DISTANCE_DISTRIBUTION_TYPE,
+            dist_mean=cfg.RL.MEAN,
+            dist_sd=cfg.RL.SD,
+            dist_alpha=cfg.RL.ALPHA,
+            dist_beta=cfg.RL.BETA,
         )
 
         self.carry = InteractiveCarry(
@@ -407,6 +413,13 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
         t_start = time.time()
         ckpt_count = 0
 
+        from avlen_tpu.utils import preemption
+        from avlen_tpu.utils.checkpoint import restore_into
+        from avlen_tpu.utils.profiling import Timings
+
+        preemption.register_signal_handlers()
+        timings = Timings()
+
         resume = self.try_to_resume()
         if resume is not None:
             self.params_option = jax.tree.map(jnp.asarray, resume["state_dict"])
@@ -414,23 +427,33 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
                 self.params_goal = jax.tree.map(jnp.asarray, resume["state_dict_goal"])
             if "state_dict_vln" in resume:
                 self.params_dialog = jax.tree.map(jnp.asarray, resume["state_dict_vln"])
+            if "optim_state" in resume:
+                self.opt_state_q = restore_into(self.opt_state_q, resume["optim_state"])
+            if "optim_state_vln" in resume:
+                self.opt_state_l = restore_into(self.opt_state_l, resume["optim_state_vln"])
             self.num_steps_done = int(resume.get("extra_state", {}).get("step", 0))
             ckpt_count = int(resume.get("_resume_index", 0))
 
         train_state = self._train_state()
         with TensorboardWriter(cfg.TENSORBOARD_DIR) as writer:
             for update in range(cfg.NUM_UPDATES):
+                if preemption.should_exit():
+                    self._set_train_state(train_state)
+                    preemption.save_interrupted_state(self._checkpoint_payload())
+                    preemption.requeue_job()
+                    return
                 key, sub = jax.random.split(key)
-                train_state, self.carry, traj, stats = self._superstep(
-                    train_state, self.carry, sub
-                )
-                self._set_train_state(train_state)
-                jax.block_until_ready(stats["value_loss"])
+                with timings.time("superstep_time"):
+                    train_state, self.carry, traj, stats = self._superstep(
+                        train_state, self.carry, sub
+                    )
+                    self._set_train_state(train_state)
+                    jax.block_until_ready(stats["value_loss"])
 
                 rewards = np.asarray(traj["rewards"])
                 dones = np.asarray(traj["dones"])
                 qcount = np.asarray(traj["query_count"])
-                metrics = {k: np.asarray(v) for k, v in traj["metrics"].items()}
+                metrics = {k: np.asarray(v) for k, v in traj["metrics"].items() if k not in METRIC_BLACKLIST}
                 for t_i in range(rewards.shape[0]):
                     reward_acc += rewards[t_i]
                     for b_i in np.nonzero(dones[t_i])[0]:
@@ -445,7 +468,10 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
 
                 if update % cfg.LOG_INTERVAL == 0:
                     fps = self.num_steps_done / max(time.time() - t_start, 1e-6)
-                    logger.info(f"interactive update {update} fps {fps:.1f} frames {self.num_steps_done}")
+                    logger.info(
+                        f"interactive update {update} fps {fps:.1f} frames {self.num_steps_done} "
+                        + timings.summary()
+                    )
                     if window:
                         means = {k: float(np.mean([w[k] for w in window])) for k in window[0]}
                         logger.info(
@@ -460,8 +486,9 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
                     for k, v in stats.items():
                         writer.add_scalar(f"Policy/{k}", float(v), self.num_steps_done)
 
-                interval = max(cfg.CHECKPOINT_INTERVAL // max(self.num_steps * self.env.num_envs, 1), 1)
-                if (update + 1) % interval == 0 or update + 1 == cfg.NUM_UPDATES:
+                # every CHECKPOINT_INTERVAL *updates*, like the reference
+                # (ddppo_trainer.py:1191, update % CHECKPOINT_INTERVAL == 0)
+                if (update + 1) % cfg.CHECKPOINT_INTERVAL == 0 or update + 1 == cfg.NUM_UPDATES:
                     self.save_checkpoint(f"ckpt.{ckpt_count}.pth")
                     ckpt_count += 1
 
@@ -496,17 +523,24 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
                     )
                     ckpt_count += 1
 
-    def save_checkpoint(self, name: str) -> None:
+    def _checkpoint_payload(self) -> Dict:
         payload = {
             "state_dict": self.params_option,
             "state_dict_goal": self.params_goal,
             "state_dict_vln": self.params_dialog,
+            # both optimizers, matching the reference's interrupted-state
+            # payload (agent + agent_vln optim state, ddp_utils.py:70-99)
+            "optim_state": self.opt_state_q,
+            "optim_state_vln": self.opt_state_l,
             "config": self.config.to_dict(),
             "extra_state": {"step": self.num_steps_done},
         }
         if self.belief_params is not None:
             payload["belief_predictor"] = self.belief_params
-        save_checkpoint(self.config.CHECKPOINT_FOLDER, name, payload)
+        return payload
+
+    def save_checkpoint(self, name: str) -> None:
+        save_checkpoint(self.config.CHECKPOINT_FOLDER, name, self._checkpoint_payload())
 
     # ------------------------------------------------------------------
     def _eval_checkpoint(self, checkpoint_path: str, writer, checkpoint_index: int = 0) -> Dict[str, float]:
@@ -523,37 +557,80 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
             if "belief_predictor" in ckpt and self.use_belief_predictor
             else self.belief_params
         )
-        count = cfg.TEST_EPISODE_COUNT
+        from avlen_tpu.rl.trainers.base import METRIC_BLACKLIST, exact_once_deal
+
+        # exactly-once protocol over the eval split (reference runs each of
+        # the 500/1000 episodes once with pause-on-done, base_trainer.py:185)
+        num_episodes = int(self.env.eps["scene"].shape[0])
+        count = min(cfg.TEST_EPISODE_COUNT, num_episodes)
+        b = self.env.num_envs
+        state, obs = self.env.reset(order=jnp.asarray(exact_once_deal(num_episodes, b)))
+        if "category_belief" not in obs:
+            obs["category_belief"] = jnp.zeros((b, 21), jnp.float32)
+            obs["location_belief"] = jnp.zeros((b, 2), jnp.float32)
+        carry = self.carry._replace(
+            env_state=state, obs=obs,
+            prev_action=jnp.zeros((b,), jnp.int32),
+            masks=jnp.zeros((b,), jnp.float32),
+            masks_vln=jnp.zeros((b,), jnp.float32),
+            mem_goal=init_memory(b, self.memory_size, self.feat_goal_size),
+            mem_option=init_memory(b, self.memory_size, self.feat_option_size),
+            mem_vln=init_memory(b, cfg.NUM_DIALOG_STEPS, self.feat_goal_size),
+            mem_vln_dialog=init_memory(
+                b, cfg.NUM_DIALOG_STEPS, cfg.RL.PPO.SCENE_MEMORY_TRANSFORMER.hidden_size
+            ),
+            belief=init_belief_state(b),
+            track=init_query_track(b),
+            key=jax.random.key(cfg.SEED + 13),
+        )
         stats: Dict[str, list] = collections.defaultdict(list)
-        episodes = 0
-        carry = self.carry
+        seen: set = set()
         # per-episode text log + npz histograms (ppo_trainer.py:1383-1397,
         # 1824-1860)
         log_lines = []
         episode_records = collections.defaultdict(list)
-        while episodes < count:
+        max_rollouts = 10 + 4 * (
+            -(-num_episodes // b)
+        ) * -(-self.env.config.max_episode_steps // max(self.num_steps, 1))
+        first_chunk = True
+        for _ in range(max_rollouts):
+            if len(seen) >= count:
+                break
             carry, traj = self._collect(p_goal, p_vln, p_opt, p_bel, carry, deterministic=True)
+            if first_chunk:
+                # eval videos (ppo_trainer.py:1824-1860 parity)
+                self.generate_eval_videos(
+                    traj["dones"], traj["masks"], traj["metrics"], writer, checkpoint_index
+                )
+                first_chunk = False
             dones = np.asarray(traj["dones"])
-            metrics = {k: np.asarray(v) for k, v in traj["metrics"].items()}
+            ep_ids = np.asarray(traj["metrics"]["episode"])
+            metrics = {
+                k: np.asarray(v) for k, v in traj["metrics"].items()
+                if k not in METRIC_BLACKLIST
+            }
             qcount = np.asarray(traj["query_count"])
             rlmask = np.asarray(traj["rl_mask"])
             for t, bi in zip(*np.nonzero(dones)):
-                if episodes >= count:
-                    break
+                eid = int(ep_ids[t, bi])
+                if eid in seen or len(seen) >= count:
+                    continue
+                seen.add(eid)
                 for k in metrics:
                     stats[k].append(metrics[k][t, bi])
                 stats["query_count"].append(qcount[t, bi])
-                episodes += 1
+                episode_records["episode"].append(eid)
                 episode_records["query_count"].append(float(qcount[t, bi]))
                 episode_records["success"].append(float(metrics["success"][t, bi]))
                 episode_records["spl"].append(float(metrics["spl"][t, bi]))
                 episode_records["na"].append(float(metrics["na"][t, bi]))
                 log_lines.append(
-                    f"episode {episodes}: success={metrics['success'][t, bi]:.0f} "
+                    f"episode {eid}: success={metrics['success'][t, bi]:.0f} "
                     f"spl={metrics['spl'][t, bi]:.3f} sna={metrics['sna'][t, bi]:.3f} "
                     f"na={metrics['na'][t, bi]:.0f} queries={qcount[t, bi]:.0f} "
                     f"vln_steps={float((1.0 - rlmask[: t + 1, bi]).sum()):.0f}"
                 )
+        self._last_eval_episode_ids = sorted(seen)
         os.makedirs(cfg.MODEL_DIR, exist_ok=True)
         sound_tag = cfg.SOUND_TYPE
         with open(os.path.join(cfg.MODEL_DIR, f"test_log_ckpt{checkpoint_index}_{sound_tag}.txt"), "w") as f:

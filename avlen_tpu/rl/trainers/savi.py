@@ -38,7 +38,7 @@ from avlen_tpu.rl.gae import compute_gae
 from avlen_tpu.rl.ppo import PPOConfig, make_optimizer, ppo_update
 from avlen_tpu.rl.rollout_smt import SMTCarry, collect_rollout_smt, evaluate_sequence_smt
 from avlen_tpu.rl.trainers.avnav import ppo_config_from
-from avlen_tpu.rl.trainers.base import BaseRLTrainer
+from avlen_tpu.rl.trainers.base import METRIC_BLACKLIST, BaseRLTrainer
 from avlen_tpu.sim.builder import construct_batched_env
 from avlen_tpu.utils.checkpoint import save_checkpoint
 from avlen_tpu.utils.logging import logger
@@ -246,40 +246,68 @@ class SaviTrainer(BaseRLTrainer):
         t_start = time.time()
         ckpt_count = 0
 
+        from avlen_tpu.utils import preemption
+        from avlen_tpu.utils.checkpoint import restore_into
+        from avlen_tpu.utils.profiling import Timings
+
+        preemption.register_signal_handlers()
+        timings = Timings()
+
         resume = self.try_to_resume()
         if resume is not None:
             self.params = jax.tree.map(jnp.asarray, resume["state_dict"])
             if "belief_predictor" in resume and self.belief_params is not None:
                 self.belief_params = jax.tree.map(jnp.asarray, resume["belief_predictor"])
+            if "optim_state" in resume:
+                self.opt_state = restore_into(self.opt_state, resume["optim_state"])
+            if "belief_optim_state" in resume and hasattr(self, "belief_opt_state"):
+                self.belief_opt_state = restore_into(
+                    self.belief_opt_state, resume["belief_optim_state"]
+                )
             self.num_steps_done = int(resume.get("extra_state", {}).get("step", 0))
             ckpt_count = int(resume.get("_resume_index", 0))
 
         train_state = self._train_state()
         with TensorboardWriter(cfg.TENSORBOARD_DIR) as writer:
             for update in range(cfg.NUM_UPDATES):
+                if preemption.should_exit():
+                    # interrupted-state save + requeue (ddp_utils.py:70-122,
+                    # trainer hook ddppo_trainer.py:846-870)
+                    self._set_train_state(train_state)
+                    preemption.save_interrupted_state(self._checkpoint_payload())
+                    preemption.requeue_job()
+                    return
                 key, sub = jax.random.split(key)
-                train_state, self.carry, batch, stats = self._superstep(
-                    train_state, self.carry, sub
-                )
-                self._set_train_state(train_state)
-                jax.block_until_ready(stats["value_loss"])
+                with timings.time("superstep_time"):
+                    train_state, self.carry, batch, stats = self._superstep(
+                        train_state, self.carry, sub
+                    )
+                    self._set_train_state(train_state)
+                    jax.block_until_ready(stats["value_loss"])
 
-                rewards = np.asarray(batch.rewards)
-                dones = np.asarray(batch.dones)
-                metrics = {k: np.asarray(v) for k, v in batch.metrics.items()}
-                for t_i in range(rewards.shape[0]):
-                    reward_acc += rewards[t_i]
-                    for b_i in np.nonzero(dones[t_i])[0]:
-                        window.append(
-                            {"reward": reward_acc[b_i], **{k: metrics[k][t_i, b_i] for k in metrics}}
-                        )
-                        reward_acc[b_i] = 0.0
+                with timings.time("host_time"):
+                    rewards = np.asarray(batch.rewards)
+                    dones = np.asarray(batch.dones)
+                    metrics = {k: np.asarray(v) for k, v in batch.metrics.items() if k not in METRIC_BLACKLIST}
+                    for t_i in range(rewards.shape[0]):
+                        reward_acc += rewards[t_i]
+                        for b_i in np.nonzero(dones[t_i])[0]:
+                            window.append(
+                                {"reward": reward_acc[b_i], **{k: metrics[k][t_i, b_i] for k in metrics}}
+                            )
+                            reward_acc[b_i] = 0.0
                 self.num_steps_done += rewards.size
                 self.num_updates_done += 1
 
                 if update % cfg.LOG_INTERVAL == 0:
                     fps = self.num_steps_done / max(time.time() - t_start, 1e-6)
-                    logger.info(f"savi update {update} fps {fps:.1f} frames {self.num_steps_done}")
+                    # the SPMD superstep fuses rollout+update into one device
+                    # program, so the reference's env_time/pth_time split
+                    # (ddppo_trainer.py:1161-1175) becomes device vs host time
+                    logger.info(
+                        f"savi update {update} fps {fps:.1f} frames {self.num_steps_done} "
+                        + timings.summary()
+                    )
                     if window:
                         means = {k: float(np.mean([w[k] for w in window])) for k in window[0]}
                         logger.info(
@@ -292,8 +320,9 @@ class SaviTrainer(BaseRLTrainer):
                     for k, v in stats.items():
                         writer.add_scalar(f"Policy/{k}", float(v), self.num_steps_done)
 
-                interval = max(cfg.CHECKPOINT_INTERVAL // max(self.num_steps * self.env.num_envs, 1), 1)
-                if (update + 1) % interval == 0 or update + 1 == cfg.NUM_UPDATES:
+                # every CHECKPOINT_INTERVAL *updates*, like the reference
+                # (ddppo_trainer.py:1191, update % CHECKPOINT_INTERVAL == 0)
+                if (update + 1) % cfg.CHECKPOINT_INTERVAL == 0 or update + 1 == cfg.NUM_UPDATES:
                     self.save_checkpoint(f"ckpt.{ckpt_count}.pth")
                     ckpt_count += 1
 
@@ -310,15 +339,21 @@ class SaviTrainer(BaseRLTrainer):
             return obs["pointgoal_with_gps_compass"]
         return jnp.zeros(batch.actions.shape + (2,), jnp.float32)
 
-    def save_checkpoint(self, name: str) -> None:
+    def _checkpoint_payload(self) -> Dict:
         payload = {
             "state_dict": self.params,
+            "optim_state": self.opt_state,
             "config": self.config.to_dict(),
             "extra_state": {"step": self.num_steps_done},
         }
         if self.belief_params is not None:
             payload["belief_predictor"] = self.belief_params
-        save_checkpoint(self.config.CHECKPOINT_FOLDER, name, payload)
+        if hasattr(self, "belief_opt_state"):
+            payload["belief_optim_state"] = self.belief_opt_state
+        return payload
+
+    def save_checkpoint(self, name: str) -> None:
+        save_checkpoint(self.config.CHECKPOINT_FOLDER, name, self._checkpoint_payload())
 
     # ------------------------------------------------------------------
     def _eval_checkpoint(self, checkpoint_path: str, writer, checkpoint_index: int = 0) -> Dict[str, float]:
@@ -330,10 +365,16 @@ class SaviTrainer(BaseRLTrainer):
             if "belief_predictor" in ckpt and self.use_belief_predictor
             else self.belief_params
         )
-        count = self.config.TEST_EPISODE_COUNT
-        stats: Dict[str, list] = collections.defaultdict(list)
-        state, obs = self.env.reset()
+        from avlen_tpu.rl.trainers.base import METRIC_BLACKLIST, exact_once_deal
+
+        # exactly-once protocol: each episode of the eval split is counted
+        # once, keyed by its packed index (reference: every episode runs once
+        # with pause-on-done, base_trainer.py:185-289)
+        num_episodes = int(self.env.eps["scene"].shape[0])
+        count = min(self.config.TEST_EPISODE_COUNT, num_episodes)
         b = self.env.num_envs
+        state, obs = self.env.reset(order=jnp.asarray(exact_once_deal(num_episodes, b)))
+        stats: Dict[str, list] = collections.defaultdict(list)
         if "category_belief" not in obs:
             obs["category_belief"] = jnp.zeros((b, 21), jnp.float32)
             obs["location_belief"] = jnp.zeros((b, 2), jnp.float32)
@@ -345,17 +386,34 @@ class SaviTrainer(BaseRLTrainer):
             belief=init_belief_state(b),
             key=jax.random.key(self.config.SEED + 11),
         )
-        episodes = 0
-        while episodes < count:
+        seen: set = set()
+        max_rollouts = 10 + 4 * (
+            -(-num_episodes // b)
+        ) * -(-self.env.config.max_episode_steps // max(self.num_steps, 1))
+        first_chunk = True
+        for _ in range(max_rollouts):
+            if len(seen) >= count:
+                break
             carry, batch = self._collect(params, belief_params, carry, deterministic=True)
+            if first_chunk:
+                self.generate_eval_videos(
+                    batch.dones, batch.masks, batch.metrics, writer, checkpoint_index
+                )
+                first_chunk = False
             dones = np.asarray(batch.dones)
-            metrics = {k: np.asarray(v) for k, v in batch.metrics.items()}
+            ep_ids = np.asarray(batch.metrics["episode"])
+            metrics = {
+                k: np.asarray(v) for k, v in batch.metrics.items()
+                if k not in METRIC_BLACKLIST
+            }
             for t, bi in zip(*np.nonzero(dones)):
-                if episodes >= count:
-                    break
+                eid = int(ep_ids[t, bi])
+                if eid in seen or len(seen) >= count:
+                    continue
+                seen.add(eid)
                 for k in metrics:
                     stats[k].append(metrics[k][t, bi])
-                episodes += 1
+        self._last_eval_episode_ids = sorted(seen)
         means = {k: float(np.mean(v)) for k, v in stats.items()}
         logger.info(f"savi eval ckpt {checkpoint_index}: " + ", ".join(f"{k}={v:.3f}" for k, v in means.items()))
         for k, v in means.items():

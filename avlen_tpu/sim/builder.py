@@ -31,6 +31,8 @@ def reward_config_from(config: ConfigNode) -> RewardConfig:
         query_reward=rl.QUERY_REWARD,
         soft_query_reward=rl.SOFT_QUERY_REWARD,
         consecutive_constraint_reward=rl.CONSECUTIVE_CONSTRAINT_REWARD,
+        with_distance_constraint=rl.WITH_DISTANCE_CONSTRAINT,
+        query_reward_distance=rl.QUERY_REWARD_DISTANCE,
     )
 
 

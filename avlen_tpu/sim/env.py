@@ -49,6 +49,7 @@ class EnvState(NamedTuple):
     ep_i: jax.Array  # (B,) i32 packed episode index
     goal_node: jax.Array
     sound: jax.Array
+    offset: jax.Array  # (B,) i32 — sound start offset in seconds
     duration: jax.Array
     category: jax.Array
     view_points: jax.Array  # (B, V) i32
@@ -74,6 +75,9 @@ class QueryInfo(NamedTuple):
     is_queried: jax.Array  # (B,) bool
     query_num: jax.Array  # (B,) i32 — count including this query
     cons_reward: jax.Array  # (B,) f32 — CONSECUTIVE_REWARD / max(diff_step, 1)
+    # pre-sampled gaussian/beta draw for the distance-sampled query reward
+    # (environments.py:126-133); sampled by the rollout (which owns the PRNG)
+    dist_sample: Optional[jax.Array] = None  # (B,) f32
 
 
 class StepOutput(NamedTuple):
@@ -97,6 +101,11 @@ class RewardConfig:
     query_reward: float = -1.0
     soft_query_reward: bool = False
     consecutive_constraint_reward: bool = False
+    # distance-sampled query reward (environments.py:126-133): when queried,
+    # draw s ~ gaussian/beta (rollout-side) and add QUERY_REWARD_DISTANCE if
+    # geodesic_to_source * s <= 3
+    with_distance_constraint: bool = False
+    query_reward_distance: float = -1.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -145,6 +154,7 @@ class BatchedAudioNavEnv:
             "start_rot": e["start_rot"][ep_i],
             "goal_node": e["goal_node"][ep_i],
             "sound": e["sound"][ep_i],
+            "offset": e["offset"][ep_i],
             "duration": e["duration"][ep_i],
             "category": e["category"][ep_i],
             "view_points": e["view_points"][ep_i],
@@ -171,10 +181,14 @@ class BatchedAudioNavEnv:
         return jnp.min(h, axis=1).astype(jnp.float32) * self.config.grid_size
 
     # ------------------------------------------------------------------
-    def reset(self) -> Tuple[EnvState, Dict[str, jax.Array]]:
+    def reset(self, order: Optional[jax.Array] = None) -> Tuple[EnvState, Dict[str, jax.Array]]:
+        """``order`` overrides the per-slot episode streams — (B, P) int32 —
+        e.g. an exactly-once eval deal (the fixed-shape analogue of the
+        reference's per-process eval splits, base_trainer.py:185-289)."""
         b = self.num_envs
         cursor = jnp.zeros((b,), jnp.int32)
-        ep_i = self.eps["order"][jnp.arange(b), cursor]
+        order = self.eps["order"] if order is None else jnp.asarray(order)
+        ep_i = order[jnp.arange(b), cursor]
         f = self._episode_fields(ep_i)
         zero = jnp.zeros((b,), jnp.int32)
         state = EnvState(
@@ -186,6 +200,7 @@ class BatchedAudioNavEnv:
             ep_i=ep_i,
             goal_node=f["goal_node"],
             sound=f["sound"],
+            offset=f["offset"],
             duration=f["duration"],
             category=f["category"],
             view_points=f["view_points"],
@@ -201,7 +216,7 @@ class BatchedAudioNavEnv:
             num_action=zero,
             collided=jnp.zeros((b,), bool),
             new_episode=jnp.ones((b,), bool),
-            ep_order=self.eps["order"],
+            ep_order=order,
         )
         return state, self._observe_jit(state)
 
@@ -268,6 +283,11 @@ class BatchedAudioNavEnv:
             if rw.consecutive_constraint_reward:
                 qr = qr + query.cons_reward
             r = r + jnp.where(query.is_queried, qr, 0.0)
+        if rw.with_distance_constraint and query.dist_sample is not None:
+            # distance-sampled query reward (environments.py:126-133): the
+            # post-step geodesic to the source scaled by the sampled draw
+            hit = dtg_goal * query.dist_sample <= 3.0
+            r = r + jnp.where(query.is_queried & hit, rw.query_reward_distance, 0.0)
 
         # ---- measures of the (possibly ending) episode
         pos_old = tables["positions"][state.scene, state.node]
@@ -296,6 +316,10 @@ class BatchedAudioNavEnv:
             "na": na,
             "sna": sna,
             "sws": sws,
+            # packed episode index of the episode this step belonged to —
+            # lets eval count each episode exactly once (the reference keys
+            # stats_episodes by (scene_id, episode_id), ppo_trainer.py:1824)
+            "episode": state.ep_i.astype(jnp.float32),
         }
         if cfg.record_pose_info:
             # agent trace for video/top-down-map generation (the reference
@@ -323,6 +347,7 @@ class BatchedAudioNavEnv:
             ep_i=sel(ep_i, state.ep_i),
             goal_node=sel(f["goal_node"], state.goal_node),
             sound=sel(f["sound"], state.sound),
+            offset=sel(f["offset"], state.offset),
             duration=sel(f["duration"], state.duration),
             category=sel(f["category"], state.category),
             view_points=sel(f["view_points"], state.view_points),
@@ -367,7 +392,11 @@ class BatchedAudioNavEnv:
             rir = bank.rir.gather(state.scene, az, state.node, state.goal_node)
             sound_padded = bank.sounds_padded[state.sound]
             secs = bank.sound_secs[state.sound]
-            audio_index = state.step_count % jnp.maximum(secs, 1)
+            # the sound starts at the episode's offset (episode.offset seconds
+            # into the source clip; SAVi's multi-second-sound semantics —
+            # the reference parses AGENT_0.OFFSET at reconfigure,
+            # simulator.py:350-354)
+            audio_index = (state.offset + state.step_count) % jnp.maximum(secs, 1)
             active = state.step_count <= state.duration  # silence past duration (simulator.py:646-649)
             dargs = {}
             if cfg.has_distractor:

@@ -2,37 +2,63 @@
 
 Parity with the reference checkpoint behavior (ss_baselines/savi/ppo/
 ppo_trainer.py:193-275): ``ckpt.{i}.pth`` files holding model state + config
-snapshot + extra_state, folder polling for eval (common/utils.py:159-186),
-and resume scanning. Payloads are numpy-ified JAX pytrees via pickle.
+snapshot + extra_state (+ optimizer states, matching the interrupted-state
+payload of ddp_utils.py:70-99), folder polling for eval
+(common/utils.py:159-186), and resume scanning.
+
+Format: **data-only msgpack** via flax.serialization — arbitrary pytrees
+(flax param dicts, optax NamedTuple states) are converted with
+``to_state_dict`` and restored as nested dicts; no code execution on load
+(unlike torch/pickle checkpoints). The ``.pth`` suffix is kept only for the
+reference's folder-layout parity — these files are NOT torch checkpoints and
+reference ``.pth`` files cannot be loaded.
+
+Typed states (e.g. optax optimizer states) are restored into a live target
+with `restore_into` (flax.serialization.from_state_dict).
 """
 
 from __future__ import annotations
 
 import glob
 import os
-import pickle
 import re
 from typing import Any, Dict, List, Optional
 
 import jax
 import numpy as np
+from flax import serialization
 
 
 def _to_numpy(tree):
-    return jax.tree.map(lambda x: np.asarray(x), tree)
+    def conv(x):
+        if isinstance(x, (jax.Array, np.ndarray)):
+            return np.asarray(x)
+        return x  # str/int/float/bool/None config leaves stay native
+
+    return jax.tree.map(conv, tree)
 
 
 def save_checkpoint(folder: str, name: str, payload: Dict[str, Any]) -> str:
     os.makedirs(folder, exist_ok=True)
     path = os.path.join(folder, name)
-    with open(path, "wb") as f:
-        pickle.dump(_to_numpy(payload), f)
+    state = serialization.to_state_dict(_to_numpy(payload))
+    blob = serialization.msgpack_serialize(state)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)  # atomic: eval folder polling never sees partial files
     return path
 
 
 def load_checkpoint(path: str) -> Dict[str, Any]:
     with open(path, "rb") as f:
-        return pickle.load(f)
+        return serialization.msgpack_restore(f.read())
+
+
+def restore_into(target, state_dict):
+    """Restore a msgpack-loaded nested dict into a typed pytree (e.g. an
+    optax optimizer state) with the target's structure and leaf types."""
+    return serialization.from_state_dict(target, state_dict)
 
 
 def poll_checkpoint_folder(folder: str, previous_index: int) -> Optional[str]:
