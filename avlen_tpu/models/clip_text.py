@@ -17,44 +17,35 @@ the policy co-train against the same embedding space, which preserves the
 reference's *capability* (language-conditioned policy) without its exact
 embedding values.
 
-The tokenizer is a self-contained byte-pair-free approximation of CLIP's BPE
-(lowercasing + punctuation-aware word split + stable hashing into the
-49152-token merge range), with the real SOT/EOT ids. `tokenize` is
+Tokenization is CLIP's real byte-level BPE (`avlen_tpu/models/clip_bpe.py`):
+with the published merges table on disk it is id-for-id identical to
+`clip.tokenize`; without one it degrades to the id-exact byte-level subset
+(same byte/special ids, no merges applied). `tokenize` is
 signature-compatible with `clip.tokenize` (returns (B, 77) int32, truncated).
 """
 
 from __future__ import annotations
 
-import hashlib
 import re
-from typing import List, Sequence, Union
+from typing import Sequence, Union
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-VOCAB_SIZE = 49408
-CONTEXT_LENGTH = 77
+from avlen_tpu.models.clip_bpe import (
+    CONTEXT_LENGTH,
+    VOCAB_SIZE,
+    default_tokenizer,
+)
+
 SOT_TOKEN = 49406
 EOT_TOKEN = 49407
 
-_WORD_RE = re.compile(r"[a-z0-9]+|[^\sa-z0-9]")
-
-
-def _hash_token(word: str) -> int:
-    h = int.from_bytes(hashlib.md5(word.encode()).digest()[:4], "little")
-    return h % (SOT_TOKEN - 1) + 1  # [1, 49405]
-
 
 def tokenize(texts: Union[str, Sequence[str]], context_length: int = CONTEXT_LENGTH) -> np.ndarray:
-    if isinstance(texts, str):
-        texts = [texts]
-    out = np.zeros((len(texts), context_length), np.int32)
-    for i, text in enumerate(texts):
-        words = _WORD_RE.findall(text.lower().strip())
-        ids = [SOT_TOKEN] + [_hash_token(w) for w in words][: context_length - 2] + [EOT_TOKEN]
-        out[i, : len(ids)] = ids
-    return out
+    return default_tokenizer().tokenize(texts, context_length)
 
 
 class CLIPTextEncoder(nn.Module):
@@ -86,7 +77,7 @@ class CLIPTextEncoder(nn.Module):
             x = x + y
             y = nn.LayerNorm(name=f"ln2_{i}")(x)
             y = nn.Dense(self.width * 4, dtype=self.dtype, name=f"mlp_fc_{i}")(y)
-            y = nn.gelu(y, approximate=True)
+            y = y * jax.nn.sigmoid(1.702 * y)  # QuickGELU, CLIP's activation
             y = nn.Dense(self.width, dtype=self.dtype, name=f"mlp_proj_{i}")(y)
             x = x + y
 
@@ -102,8 +93,6 @@ def load_openai_weights(params, state_dict) -> dict:
     """Map an OpenAI CLIP state dict (torch tensor name → array) onto this
     module's params. Provided for weight porting when CLIP weights exist on
     disk; returns an updated params pytree."""
-    import jax
-
     p = jax.tree.map(np.asarray, params)["params"]
     sd = {k: np.asarray(v) for k, v in state_dict.items()}
     p["token_embedding"]["embedding"] = sd["token_embedding.weight"]
