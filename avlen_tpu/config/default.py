@@ -341,6 +341,10 @@ _TC.DATASET.VERSION = "v1"
 _TC.DATASET.SCENES_DIR = "data/scene_datasets"
 _TC.DATASET.CONTENT_SCENES = ["*"]
 _TC.DATASET.DATA_PATH = "data/datasets/audionav/{split}/{split}.json.gz"
+# native mmap frame banks (scripts/cache_observations.py) loaded through the
+# frame server at env build; the counterpart of USE_RENDERED_OBSERVATIONS
+# pickles for the synthetic path
+_TC.DATASET.FRAME_CACHE_DIR = ""
 # Synthetic world generation (used when TYPE == "synthetic"; this environment
 # ships no Matterport/Replica assets, so tests and benchmarks run on
 # procedurally generated scenes — see avlen_tpu/sim/synthetic.py)

@@ -256,6 +256,21 @@ class HostRIRStore:
         )
 
 
+def _register_host_store_pytree() -> None:
+    """HostRIRStore holds no device arrays (host mmap + io_callback), so it
+    crosses jit boundaries as a static (identity-hashed) pytree node —
+    required because SceneBank is a pytree (sim/scene.py) and its ``rir``
+    slot may hold this store."""
+    import jax
+
+    jax.tree_util.register_pytree_node(
+        HostRIRStore, lambda s: ((), s), lambda aux, ch: aux
+    )
+
+
+_register_host_store_pytree()
+
+
 # ---------------------------------------------------------------------------
 # frame caches
 # ---------------------------------------------------------------------------
@@ -283,9 +298,11 @@ def load_frame_cache(
                 depth = np.zeros((num_nodes, 4) + frame.shape, np.float32)
             depth[node, rot] = frame
         if "semantic" in obs and obs["semantic"] is not None:
+            # (H, W) instance ids — no channel dim (SemanticObjectSensor
+            # consumes flat id frames, nav.py:676-698)
             frame = np.asarray(obs["semantic"], np.int32)
-            if frame.ndim == 2:
-                frame = frame[..., None]
+            if frame.ndim == 3:
+                frame = frame[..., 0]
             if semantic is None:
                 semantic = np.zeros((num_nodes, 4) + frame.shape, np.int32)
             semantic[node, rot] = frame
@@ -505,12 +522,12 @@ def build_reference_scene_bank(cfg: ReferenceDataConfig):
 
     sounds_padded, secs = pad_sounds(sounds, rir_length, cfg.sampling_rate)
 
-    rgb = depth = None
+    rgb = depth = semantic = inst_maps = None
     if cfg.scene_observations_dir:
-        rgbs, depths = [], []
+        rgbs, depths, sems, maps = [], [], [], []
         for s, t in zip(scenes, tables_list):
             pkl = os.path.join(cfg.scene_observations_dir, s + ".pkl")
-            r, d, _sem = load_frame_cache(pkl, t.num_nodes)
+            r, d, sem = load_frame_cache(pkl, t.num_nodes)
             if r is not None:
                 rp = np.zeros((n_max,) + r.shape[1:], np.uint8)
                 rp[: t.num_nodes] = r
@@ -519,10 +536,22 @@ def build_reference_scene_bank(cfg: ReferenceDataConfig):
                 dp = np.zeros((n_max,) + d.shape[1:], np.float32)
                 dp[: t.num_nodes] = d
                 depths.append(dp)
+            if sem is not None:
+                sp = np.zeros((n_max,) + sem.shape[1:], np.int32)
+                sp[: t.num_nodes] = sem
+                sems.append(sp)
+                maps.append(_scene_instance_to_mp3d(cfg, s))
         if len(rgbs) == len(scenes):
             rgb = jnp.asarray(np.stack(rgbs))
         if len(depths) == len(scenes):
             depth = jnp.asarray(np.stack(depths))
+        if len(sems) == len(scenes):
+            semantic = jnp.asarray(np.stack(sems))
+            width = max(m.shape[0] for m in maps)
+            padded = np.zeros((len(maps), width), np.int32)
+            for i, m in enumerate(maps):
+                padded[i, : m.shape[0]] = m
+            inst_maps = jnp.asarray(padded)
 
     bank = SceneBank(
         tables={k: jnp.asarray(v) for k, v in stacked.items()},
@@ -531,6 +560,8 @@ def build_reference_scene_bank(cfg: ReferenceDataConfig):
         rir=rir,
         rgb=rgb,
         depth=depth,
+        semantic=semantic,
+        semantic_instance_to_mp3d=inst_maps,
         grid_size=cfg.grid_size,
         sampling_rate=cfg.sampling_rate,
     )
@@ -542,6 +573,33 @@ def build_reference_scene_bank(cfg: ReferenceDataConfig):
         scene_index={s: i for i, s in enumerate(scenes)},
     )
     return bank, tables_list, episodes
+
+
+def _scene_instance_to_mp3d(cfg: ReferenceDataConfig, scene: str) -> np.ndarray:
+    """instance id → mpcat40 index for one scene, from the scene's .house
+    file when present (SemanticObjectSensor builds this per episode from
+    HouseReader, soundspaces/tasks/nav.py:676-681). Looked up as
+    ``<metadata>/<scene>/<scene>.house`` (or any ``*.house`` in the scene's
+    metadata dir). Without a house file, falls back to the identity map —
+    frames are then interpreted as already holding mpcat40 ids, which the
+    synthetic pipeline and pre-remapped caches use."""
+    from avlen_tpu.sim.mp3d_utils import HouseReader
+
+    scene_dir = os.path.join(cfg.metadata_dir, scene)
+    cands = [os.path.join(scene_dir, scene + ".house")]
+    if os.path.isdir(scene_dir):
+        cands += [
+            os.path.join(scene_dir, f) for f in sorted(os.listdir(scene_dir)) if f.endswith(".house")
+        ]
+    for path in cands:
+        if os.path.exists(path):
+            mapping = HouseReader(path).compute_object_to_category_index_mapping()
+            width = max(mapping) + 1 if mapping else 1
+            table = np.zeros((width,), np.int32)
+            for inst, mp3d in mapping.items():
+                table[inst] = max(mp3d, 0)
+            return table
+    return np.arange(200, dtype=np.int32)
 
 
 def _first_files(rir_dirs: Sequence[str], k: int):

@@ -38,11 +38,19 @@ class Speaker:
         vocab: Optional[Vocabulary] = None,
         neural_params=None,
         hidden_size: int = 256,
+        pano_features=None,
     ):
+        """``pano_features``: optional (S, N, 4, D) visual feature bank from
+        pano_features.precompute_panorama_features — the counterpart of the
+        reference's precomputed ResNet-152 panorama features (R2R env.py:
+        40-74); when present, world features become geometry ⊕ the
+        heading-aligned view feature of each traversed node."""
         self.positions = [np.asarray(p) for p in positions_per_scene]
         self.backend = backend
         self.vocab = vocab or Vocabulary()
         self.neural_params = neural_params
+        self.pano = np.asarray(pano_features) if pano_features is not None else None
+        self.feat_dim = 8 + (self.pano.shape[-1] if self.pano is not None else 0)
         self._model = None
         self._rollout_jit = None
         if backend == "neural":
@@ -53,10 +61,12 @@ class Speaker:
 
         from avlen_tpu.dialog.speaker.model import Seq2SeqSpeaker
 
-        self._model = Seq2SeqSpeaker(vocab_size=len(self.vocab), hidden_size=hidden_size)
+        self._model = Seq2SeqSpeaker(
+            vocab_size=len(self.vocab), hidden_size=hidden_size, world_feat_dim=self.feat_dim
+        )
         if self.neural_params is None:
             acts = np.zeros((1, MAX_PATH_LEN), np.int32)
-            feats = np.zeros((1, MAX_PATH_LEN, 8), np.float32)
+            feats = np.zeros((1, MAX_PATH_LEN, self.feat_dim), np.float32)
             self.neural_params = self._model.init(
                 jax.random.key(0), acts, feats, np.ones((1,), np.int32),
                 self.vocab.bos_id, self.vocab.eos_id, method=Seq2SeqSpeaker.rollout,
@@ -69,10 +79,13 @@ class Speaker:
 
     # ------------------------------------------------------------------
     def path_features(self, scene: int, path: Sequence[int], heading_deg: int):
-        """Per-step (action ids, world features) for the neural speaker."""
+        """Per-step (action ids, world features) for the neural speaker.
+        With a panorama bank, each step's feature is geometry ⊕ the view
+        feature of the node being left, aligned to the walking direction
+        (R2R env heading-aligned feature selection, env.py:155-235)."""
         pos = self.positions[scene]
         acts = np.zeros((MAX_PATH_LEN,), np.int32)
-        feats = np.zeros((MAX_PATH_LEN, 8), np.float32)
+        feats = np.zeros((MAX_PATH_LEN, self.feat_dim), np.float32)
         orient = heading_deg % 360
         n = 0
         for a, b in zip(path[:-1], path[1:]):
@@ -86,6 +99,11 @@ class Speaker:
             feats[n, 3] = np.cos(np.deg2rad(direction))
             feats[n, 4] = np.sin(np.deg2rad(direction))
             feats[n, 5] = n / MAX_PATH_LEN
+            if self.pano is not None:
+                from avlen_tpu.dialog.speaker.pano_features import heading_to_rot_index
+
+                rot = int(heading_to_rot_index(direction))
+                feats[n, 8:] = self.pano[scene, a, rot]
             orient = direction
             n += 1
         return acts, feats, max(n, 1)
@@ -107,7 +125,7 @@ class Speaker:
             return outs
 
         acts = np.zeros((len(batch), MAX_PATH_LEN), np.int32)
-        feats = np.zeros((len(batch), MAX_PATH_LEN, 8), np.float32)
+        feats = np.zeros((len(batch), MAX_PATH_LEN, self.feat_dim), np.float32)
         lens = np.zeros((len(batch),), np.int32)
         for i, item in enumerate(batch):
             acts[i], feats[i], lens[i] = self.path_features(

@@ -36,13 +36,18 @@ def build_dataset(
     vocab: Vocabulary,
     num_pairs: int,
     seed: int = 0,
+    pano_features=None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Sample (path → instruction) pairs. Returns (actions, feats, lengths,
-    target token ids (BOS-led))."""
+    target token ids (BOS-led)). ``pano_features`` (S, N, 4, D) adds the
+    heading-aligned visual view feature per step (R2R panorama parity)."""
     rng = np.random.RandomState(seed)
-    speaker = Speaker([t.positions for t in tables_list], backend="template", vocab=vocab)
+    speaker = Speaker(
+        [t.positions for t in tables_list], backend="template", vocab=vocab,
+        pano_features=pano_features,
+    )
     acts = np.zeros((num_pairs, MAX_PATH_LEN), np.int32)
-    feats = np.zeros((num_pairs, MAX_PATH_LEN, 8), np.float32)
+    feats = np.zeros((num_pairs, MAX_PATH_LEN, speaker.feat_dim), np.float32)
     lens = np.zeros((num_pairs,), np.int32)
     words = np.zeros((num_pairs, MAX_WORDS), np.int32)
     i = 0
@@ -72,10 +77,16 @@ def train_speaker(
     lr: float = 1e-3,
     seed: int = 0,
     checkpoint_dir: str | None = None,
+    pano_features=None,
 ):
     vocab = Vocabulary()
-    acts, feats, lens, words = build_dataset(tables_list, vocab, max(batch * 8, 512), seed)
-    model = Seq2SeqSpeaker(vocab_size=len(vocab), hidden_size=hidden_size, max_decode_len=MAX_WORDS)
+    acts, feats, lens, words = build_dataset(
+        tables_list, vocab, max(batch * 8, 512), seed, pano_features=pano_features
+    )
+    model = Seq2SeqSpeaker(
+        vocab_size=len(vocab), hidden_size=hidden_size, max_decode_len=MAX_WORDS,
+        world_feat_dim=int(feats.shape[-1]),
+    )
     key = jax.random.key(seed)
     params = model.init(
         key, acts[:2], feats[:2], lens[:2], words[:2], method=Seq2SeqSpeaker.teacher_logits

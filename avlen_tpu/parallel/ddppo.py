@@ -23,9 +23,16 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+import contextlib
+
 from avlen_tpu.rl.gae import compute_gae
 from avlen_tpu.rl.ppo import PPOConfig, ppo_update
 from avlen_tpu.rl.rollout import CarryState, RolloutBatch, collect_rollout
+
+
+def _bound(binder, consts):
+    """binder.bind(consts) when a binder is in play, else a no-op context."""
+    return binder.bind(consts) if binder is not None else contextlib.nullcontext()
 
 
 def _leaf_spec(shape: Tuple[int, ...], num_envs: int, num_steps: Optional[int], axis: str):
@@ -65,6 +72,7 @@ def make_sharded_superstep(
     mesh: Mesh,
     num_steps: int,
     axis: str = "data",
+    binder=None,  # utils/hoist.ConstBinder holding the asset banks
 ):
     """Compile (rollout → update) into one SPMD program over ``mesh``.
 
@@ -76,8 +84,10 @@ def make_sharded_superstep(
     rollout and update streams.
 
     Returns ``(step_fn, carry_spec)`` where ``step_fn(train_state, carry,
-    key) -> (train_state, carry, batch, stats)`` is jitted and ``carry_spec``
-    is the carry's PartitionSpec tree (for `shard_pytree`).
+    key, consts) -> (train_state, carry, batch, stats)`` is jitted and
+    ``carry_spec`` is the carry's PartitionSpec tree (for `shard_pytree`).
+    ``consts`` is ``binder.arrays`` — the asset banks enter the program as
+    replicated runtime arguments, never as HLO literals (utils/hoist.py).
     """
     num_envs = int(carry_example.masks.shape[0])
     per_axis = int(mesh.shape[axis])
@@ -89,7 +99,7 @@ def make_sharded_superstep(
     _, batch_struct = jax.eval_shape(collect, train_state_example, carry_example)
     batch_spec = infer_env_specs(batch_struct, num_envs, axis, num_steps=num_steps)
 
-    def local_step(train_state, carry, key):
+    def body(train_state, carry, key):
         key = jax.random.fold_in(key, jax.lax.axis_index(axis))
         rollout_key, update_key = jax.random.split(key)
         carry = carry._replace(key=rollout_key)
@@ -100,26 +110,41 @@ def make_sharded_superstep(
         stats = jax.tree.map(lambda v: jax.lax.pmean(v, axis), stats)
         return train_state, carry, batch, stats
 
+    if binder is None:
+        step = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), carry_spec, P()),
+            out_specs=(P(), carry_spec, batch_spec, P()),
+            check_vma=False,
+        )
+        return jax.jit(step), carry_spec
+
+    consts_spec = jax.tree.map(lambda _: P(), binder.arrays)
+
+    def local_step(train_state, carry, key, consts):
+        with binder.bind(consts):
+            return body(train_state, carry, key)
+
     step = jax.shard_map(
-        local_step,
-        mesh=mesh,
-        in_specs=(P(), carry_spec, P()),
+        local_step, mesh=mesh,
+        in_specs=(P(), carry_spec, P(), consts_spec),
         out_specs=(P(), carry_spec, batch_spec, P()),
         check_vma=False,
     )
     return jax.jit(step), carry_spec
 
 
-def make_local_superstep(collect: Callable, update: Callable):
+def make_local_superstep(collect: Callable, update: Callable, binder=None):
     """Single-device analogue of `make_sharded_superstep` with identical
     semantics and signature (identity grad_reduce, same RNG split)."""
 
-    def local_step(train_state, carry, key):
-        rollout_key, update_key = jax.random.split(key)
-        carry = carry._replace(key=rollout_key)
-        carry, batch = collect(train_state, carry)
-        train_state, stats = update(train_state, batch, update_key, lambda g: g)
-        return train_state, carry, batch, stats
+    def local_step(train_state, carry, key, consts=None):
+        with _bound(binder, consts):
+            rollout_key, update_key = jax.random.split(key)
+            carry = carry._replace(key=rollout_key)
+            carry, batch = collect(train_state, carry)
+            train_state, stats = update(train_state, batch, update_key, lambda g: g)
+            return train_state, carry, batch, stats
 
     return jax.jit(local_step)
 
@@ -132,7 +157,7 @@ def shard_pytree(tree, spec_tree, mesh: Mesh):
 
 
 class DDPPOStep(NamedTuple):
-    step_fn: Callable  # (params, opt_state, carry, key) -> (params, opt_state, carry, batch, stats)
+    step_fn: Callable  # (params, opt_state, carry, key, consts) -> (params, opt_state, carry, batch, stats)
     mesh: Mesh
 
 
@@ -149,6 +174,7 @@ def make_ddppo_step(
     params_example,
     opt_example,
     axis: str = "data",
+    binder=None,
 ) -> DDPPOStep:
     """The GRU (av-nav style) stack on top of `make_sharded_superstep`."""
 
@@ -181,12 +207,12 @@ def make_ddppo_step(
 
     sharded, _carry_spec = make_sharded_superstep(
         collect, update, (params_example, opt_example), carry_example,
-        mesh, num_steps, axis,
+        mesh, num_steps, axis, binder=binder,
     )
 
-    def step_fn(params, opt_state, carry, key):
+    def step_fn(params, opt_state, carry, key, consts=None):
         (params, opt_state), carry, batch, stats = sharded(
-            (params, opt_state), carry, key
+            (params, opt_state), carry, key, consts
         )
         return params, opt_state, carry, batch, stats
 

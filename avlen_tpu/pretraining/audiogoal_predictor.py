@@ -31,11 +31,13 @@ from avlen_tpu.utils.logging import logger
 
 def make_sampler(bank: SceneBank, batch: int, num_categories: int = 21):
     """Jitted sampler: random (scene, receiver, source, rotation, sound) →
-    (spectrogram, category target, relative-location target)."""
-    tables = bank.tables
+    (spectrogram, category target, relative-location target). The bank is a
+    pytree jit ARGUMENT (bound via closure at the call wrapper) so its
+    tensors never lower as HLO literals (utils/hoist.py rationale)."""
     s = bank.tables["positions"].shape[0]
 
-    def sample(key):
+    def sample_impl(bank, key):
+        tables = bank.tables
         ks = jax.random.split(key, 6)
         scene = jax.random.randint(ks[0], (batch,), 0, s)
         n = tables["num_nodes"][scene]
@@ -64,7 +66,10 @@ def make_sampler(bank: SceneBank, batch: int, num_categories: int = 21):
         loc = jnp.stack([fwd, rgt], axis=1)
         return spec, category, loc
 
-    return jax.jit(sample)
+    sample_j = jax.jit(sample_impl)
+    sampler = lambda key: sample_j(bank, key)
+    sampler.impl = sample_impl  # for embedding in a larger jit with bank as arg
+    return sampler
 
 
 def train_audiogoal_predictor(
@@ -94,8 +99,8 @@ def train_audiogoal_predictor(
         return ce + mse, {"ce": ce, "mse": mse, "acc": acc}
 
     @jax.jit
-    def step(p, o, key):
-        spec, cat, loc = sampler(key)
+    def step(p, o, key, bank_arg):
+        spec, cat, loc = sampler.impl(bank_arg, key)
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(p, spec, cat, loc)
         updates, o = optimizer.update(grads, o, p)
         return optax.apply_updates(p, updates), o, aux
@@ -104,7 +109,7 @@ def train_audiogoal_predictor(
     aux = {}
     for i in range(num_steps):
         key, sub = jax.random.split(key)
-        params, opt_state, aux = step(params, opt_state, sub)
+        params, opt_state, aux = step(params, opt_state, sub, bank)
         if i % log_interval == 0:
             logger.info(
                 f"audiogoal pretrain {i}: ce {float(aux['ce']):.3f} "

@@ -118,7 +118,11 @@ class AVNavTrainer(BaseRLTrainer):
                 params, opt_state, batch, adv, ret, key, evaluate_actions, optimizer, ppo_cfg
             )
 
-        self._collect = jax.jit(collect, static_argnames=("deterministic",))
+        def collect_bound(consts, params, carry, deterministic=False):
+            with env.binder.bind(consts):
+                return collect(params, carry, deterministic)
+
+        self._collect = jax.jit(collect_bound, static_argnames=("deterministic",))
         self._update = jax.jit(update)
 
     # ------------------------------------------------------------------
@@ -157,7 +161,7 @@ class AVNavTrainer(BaseRLTrainer):
         with TensorboardWriter(cfg.TENSORBOARD_DIR) as writer:
             for update in range(cfg.NUM_UPDATES):
                 t0 = time.time()
-                self.carry, batch = self._collect(self.params, self.carry)
+                self.carry, batch = self._collect(self.env.consts, self.params, self.carry)
                 jax.block_until_ready(batch.rewards)
                 t1 = time.time()
                 key, sub = jax.random.split(key)
@@ -265,7 +269,7 @@ class AVNavTrainer(BaseRLTrainer):
         for _ in range(max_rollouts):
             if len(seen) >= count:
                 break
-            carry, batch = self._collect(params, carry, deterministic=True)
+            carry, batch = self._collect(self.env.consts, params, carry, deterministic=True)
             if first_chunk:
                 self._generate_eval_videos(batch, writer, checkpoint_index)
                 first_chunk = False

@@ -128,7 +128,11 @@ class AVWanTrainer(BaseRLTrainer):
                 params, opt_state, batch, adv, ret, key, evaluate_actions, optimizer, ppo_cfg
             )
 
-        self._collect = jax.jit(collect, static_argnames=("deterministic",))
+        def collect_bound(consts, params, *args, **kw):
+            with env.binder.bind(consts):
+                return collect(params, *args, **kw)
+
+        self._collect = jax.jit(collect_bound, static_argnames=("deterministic",))
         self._update = jax.jit(update)
 
     # ------------------------------------------------------------------
@@ -146,7 +150,7 @@ class AVWanTrainer(BaseRLTrainer):
 
         with TensorboardWriter(cfg.TENSORBOARD_DIR) as writer:
             for update in range(cfg.NUM_UPDATES):
-                carry, batch = self._collect(self.params, *carry)
+                carry, batch = self._collect(self.env.consts, self.params, *carry)
                 key, sub = jax.random.split(key)
                 self.params, self.opt_state, stats = self._update(
                     self.params, self.opt_state, batch, sub
@@ -197,7 +201,7 @@ class AVWanTrainer(BaseRLTrainer):
         carry = (state, obs, jnp.zeros((b, self.config.RL.PPO.hidden_size)), jnp.zeros((b,)), jax.random.key(7))
         episodes = 0
         while episodes < count:
-            carry, batch = self._collect(params, *carry, deterministic=True)
+            carry, batch = self._collect(self.env.consts, params, *carry, deterministic=True)
             dones = np.asarray(batch.dones)
             metrics = {k: np.asarray(v) for k, v in batch.metrics.items() if k not in METRIC_BLACKLIST}
             for t, bi in zip(*np.nonzero(dones)):

@@ -161,15 +161,15 @@ class BaseRLTrainer:
 
     def generate_eval_videos(
         self, dones, masks, metrics, writer, checkpoint_index: int, max_videos: int = 2
-    ) -> None:
+    ) -> int:
         """Top-down-map episode videos at eval (generate_video semantics,
         common/utils.py:187-238) for episodes fully contained in the rollout
         chunk. Requires the agent-trace metrics recorded when VIDEO_OPTION is
-        set (EnvConfig.record_pose_info)."""
+        set (EnvConfig.record_pose_info). Returns the number written."""
         import numpy as np
 
         if "agent_node" not in metrics or not self.config.VIDEO_OPTION:
-            return
+            return 0
         from avlen_tpu.utils.maps import draw_top_down_map
         from avlen_tpu.utils.video import generate_video
 
@@ -192,13 +192,28 @@ class BaseRLTrainer:
                         np.int32,
                     )
                     trail = [int(x) for x in metrics["agent_node"][start : t + 1, b]]
-                    frames = [
-                        draw_top_down_map(
-                            tbl.positions, edges, trail[i], int(metrics["agent_rot"][start + i, b]),
-                            int(metrics["goal_node"][t, b]), trail=trail[: i + 1],
+                    # per-episode fog-of-war accumulator over the map image
+                    # (habitat fog_of_war.py reveal + overlay semantics)
+                    from avlen_tpu.utils.maps import _to_px, reveal_fog_of_war
+
+                    size = 256
+                    fog = np.zeros((size, size), np.uint8)
+                    px, _, _ = _to_px(tbl.positions, size)
+                    no_obstacles = np.zeros((size, size), bool)
+                    frames = []
+                    for i in range(len(trail)):
+                        rot = int(metrics["agent_rot"][start + i, b])
+                        yx = (int(px[trail[i]][1]), int(px[trail[i]][0]))
+                        fog = reveal_fog_of_war(
+                            no_obstacles, fog, yx, np.deg2rad(rot * 90), max_line_len=40
                         )
-                        for i in range(len(trail))
-                    ]
+                        frames.append(
+                            draw_top_down_map(
+                                tbl.positions, edges, trail[i], rot,
+                                int(metrics["goal_node"][t, b]), trail=trail[: i + 1],
+                                size=size, fog=fog,
+                            )
+                        )
                     generate_video(
                         self.config.VIDEO_OPTION, self.config.VIDEO_DIR, frames,
                         episode_id=f"{b}_{t}", checkpoint_idx=checkpoint_index,
@@ -209,6 +224,7 @@ class BaseRLTrainer:
                     start = t + 1
                     if made >= max_videos:
                         break
+        return made
 
     def percent_done(self) -> float:
         return self.num_updates_done / max(self.config.NUM_UPDATES, 1)

@@ -102,9 +102,12 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
         d_model = smt_cfg.hidden_size
         key = jax.random.key(cfg.SEED)
 
-        # instruction bank from the scene graphs (template speaker)
+        # instruction bank from the scene graphs (template speaker); banked
+        # on the env binder so it enters jits as an argument, not a literal
         self.instr_bank = jnp.asarray(build_instruction_bank_fast(self.env.scene_tables))
         self.pe_table = jnp.asarray(sinusoidal_pe(151, cfg.QUERY_COUNT_EMB_SIZE))
+        self.env.binder.add("instr_bank", self.instr_bank)
+        self.env.binder.add("pe_table", self.pe_table)
 
         common = dict(
             spectrogram_hw=spec_hw,
@@ -227,7 +230,7 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
         belief_net = self.belief_net
         bp_cfg = cfg.RL.PPO.BELIEF_PREDICTOR
         icfg = self.interactive_cfg
-        pe_table, instr_bank = self.pe_table, self.instr_bank
+        binder = env.binder
         num_steps = self.num_steps
 
         def make_fns(pg, pd, po, pb, deterministic=False):
@@ -275,7 +278,9 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
                 icfg, qs_method=cfg.QS_METHOD, limit_query=cfg.LIMIT_QUERY,
                 how_many_query=cfg.HOW_MANY_QUERY, enforced_gap=cfg.ENFORCED_GAP,
             )
-            return collect_rollout_interactive(fns, carry, instr_bank, pe_table, c, num_steps)
+            return collect_rollout_interactive(
+                fns, carry, binder.get("instr_bank"), binder.get("pe_table"), c, num_steps
+            )
 
         def update_q(po, opt_state, traj, key, grad_reduce=lambda g: g):
             adv, ret = compute_gae(
@@ -308,10 +313,14 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
             fns = make_fns(self.params_goal, pd, self.params_option, pb)
             return collect_rollout_dialog_pretrain(
                 fns.act_dialog, env._step_impl_noquery, env.oracle_action, fns.belief_fn,
-                carry, instr_bank, cfg.NUM_DIALOG_STEPS, num_steps,
+                carry, binder.get("instr_bank"), cfg.NUM_DIALOG_STEPS, num_steps,
             )
 
-        self._collect = jax.jit(collect, static_argnames=("deterministic",))
+        def collect_bound(consts, pg, pd, po, pb, carry, deterministic=False):
+            with binder.bind(consts):
+                return collect(pg, pd, po, pb, carry, deterministic)
+
+        self._collect = jax.jit(collect_bound, static_argnames=("deterministic",))
         self._update_l = jax.jit(update_l, static_argnames=("replay_only",))
 
         # full-AVLEN superstep (rollout → π_q PPO [→ π_l replay CE]); on a
@@ -359,17 +368,19 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
             if dialog_mode:
                 self._superstep_dialog, carry_spec = make_sharded_superstep(
                     collect_dialog_ts, update_dialog_ts, self._dialog_train_state(),
-                    self.carry, self.mesh, num_steps,
+                    self.carry, self.mesh, num_steps, binder=binder,
                 )
             else:
                 self._superstep, carry_spec = make_sharded_superstep(
                     collect_ts, update_ts, self._train_state(), self.carry,
-                    self.mesh, num_steps,
+                    self.mesh, num_steps, binder=binder,
                 )
             self.carry = shard_pytree(self.carry, carry_spec, self.mesh)
         else:
-            self._superstep = make_local_superstep(collect_ts, update_ts)
-            self._superstep_dialog = make_local_superstep(collect_dialog_ts, update_dialog_ts)
+            self._superstep = make_local_superstep(collect_ts, update_ts, binder=binder)
+            self._superstep_dialog = make_local_superstep(
+                collect_dialog_ts, update_dialog_ts, binder=binder
+            )
 
     def _train_state(self):
         return (
@@ -445,7 +456,7 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
                 key, sub = jax.random.split(key)
                 with timings.time("superstep_time"):
                     train_state, self.carry, traj, stats = self._superstep(
-                        train_state, self.carry, sub
+                        train_state, self.carry, sub, self.env.consts
                     )
                     self._set_train_state(train_state)
                     jax.block_until_ready(stats["value_loss"])
@@ -504,7 +515,7 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
             for update in range(cfg.NUM_UPDATES_DIALOG):
                 key, sub = jax.random.split(key)
                 train_state, self.carry, traj, dstats = self._superstep_dialog(
-                    train_state, self.carry, sub
+                    train_state, self.carry, sub, self.env.consts
                 )
                 self.params_dialog, self.opt_state_l, _ = train_state
                 loss = dstats["dialog_loss"]
@@ -592,17 +603,17 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
         max_rollouts = 10 + 4 * (
             -(-num_episodes // b)
         ) * -(-self.env.config.max_episode_steps // max(self.num_steps, 1))
-        first_chunk = True
+        videos_made = 0
         for _ in range(max_rollouts):
             if len(seen) >= count:
                 break
-            carry, traj = self._collect(p_goal, p_vln, p_opt, p_bel, carry, deterministic=True)
-            if first_chunk:
-                # eval videos (ppo_trainer.py:1824-1860 parity)
-                self.generate_eval_videos(
+            carry, traj = self._collect(self.env.consts, p_goal, p_vln, p_opt, p_bel, carry, deterministic=True)
+            if videos_made < 2:
+                # eval videos (ppo_trainer.py:1824-1860 parity): keep trying
+                # chunks until some episode completes inside one
+                videos_made += self.generate_eval_videos(
                     traj["dones"], traj["masks"], traj["metrics"], writer, checkpoint_index
                 )
-                first_chunk = False
             dones = np.asarray(traj["dones"])
             ep_ids = np.asarray(traj["metrics"]["episode"])
             metrics = {

@@ -93,6 +93,27 @@ class SaviTrainer(BaseRLTrainer):
             key, obs, prev_a, mem.features, mem.valid, key, method=SMTPolicy.act
         )
 
+        # cross-stage pretrained weight transfer (reference: DDPPO.pretrained
+        # + pretrained_weights, or SMT use_pretrained + pretrained_path —
+        # ddppo_trainer.py:244-280 / ppo_trainer.py:301-513 filtered load);
+        # stage nets differ in heads, so merge matching subtrees only
+        pretrained_path = ""
+        if cfg.RL.DDPPO.pretrained and cfg.RL.DDPPO.pretrained_weights:
+            pretrained_path = cfg.RL.DDPPO.pretrained_weights
+        elif smt_cfg.use_pretrained and smt_cfg.pretrained_path:
+            pretrained_path = smt_cfg.pretrained_path
+        if pretrained_path and os.path.exists(pretrained_path):
+            from avlen_tpu.utils.checkpoint import merge_matching_params
+
+            ckpt = self.load_checkpoint(pretrained_path)
+            self.params, copied, skipped = merge_matching_params(
+                self.params, ckpt["state_dict"]
+            )
+            logger.info(
+                f"loaded pretrained weights from {pretrained_path}: "
+                f"{len(copied)} tensors copied, {len(skipped)} kept fresh"
+            )
+
         self.belief_net = None
         self.belief_params = None
         if self.use_belief_predictor:
@@ -147,7 +168,11 @@ class SaviTrainer(BaseRLTrainer):
 
             return collect_rollout_smt(env._step_impl_noquery, act, val, belief_fn, carry, num_steps)
 
-        self._collect = jax.jit(collect, static_argnames=("deterministic",))
+        def collect_bound(consts, params, belief_params, carry, deterministic=False):
+            with env.binder.bind(consts):
+                return collect(params, belief_params, carry, deterministic)
+
+        self._collect = jax.jit(collect_bound, static_argnames=("deterministic",))
 
         online_belief = belief_net is not None and bp_cfg.online_training
         belief_optimizer = self.belief_optimizer if online_belief else None
@@ -215,11 +240,11 @@ class SaviTrainer(BaseRLTrainer):
             train_state_ex = self._train_state()
             self._superstep, carry_spec = make_sharded_superstep(
                 collect_ts, update_ts, train_state_ex, self.carry,
-                self.mesh, num_steps,
+                self.mesh, num_steps, binder=env.binder,
             )
             self.carry = shard_pytree(self.carry, carry_spec, self.mesh)
         else:
-            self._superstep = make_local_superstep(collect_ts, update_ts)
+            self._superstep = make_local_superstep(collect_ts, update_ts, binder=env.binder)
 
     def _train_state(self):
         return (
@@ -280,7 +305,7 @@ class SaviTrainer(BaseRLTrainer):
                 key, sub = jax.random.split(key)
                 with timings.time("superstep_time"):
                     train_state, self.carry, batch, stats = self._superstep(
-                        train_state, self.carry, sub
+                        train_state, self.carry, sub, self.env.consts
                     )
                     self._set_train_state(train_state)
                     jax.block_until_ready(stats["value_loss"])
@@ -390,16 +415,15 @@ class SaviTrainer(BaseRLTrainer):
         max_rollouts = 10 + 4 * (
             -(-num_episodes // b)
         ) * -(-self.env.config.max_episode_steps // max(self.num_steps, 1))
-        first_chunk = True
+        videos_made = 0
         for _ in range(max_rollouts):
             if len(seen) >= count:
                 break
-            carry, batch = self._collect(params, belief_params, carry, deterministic=True)
-            if first_chunk:
-                self.generate_eval_videos(
+            carry, batch = self._collect(self.env.consts, params, belief_params, carry, deterministic=True)
+            if videos_made < 2:
+                videos_made += self.generate_eval_videos(
                     batch.dones, batch.masks, batch.metrics, writer, checkpoint_index
                 )
-                first_chunk = False
             dones = np.asarray(batch.dones)
             ep_ids = np.asarray(batch.metrics["episode"])
             metrics = {

@@ -47,6 +47,8 @@ def sensors_from_task(tc: ConfigNode) -> Tuple[str, ...]:
         "COLLISION": "collision",
         "ORACLE_ACTION_SENSOR": "oracle_action",
         "POINTGOAL_WITH_GPS_COMPASS_SENSOR": "pointgoal_with_gps_compass",
+        "SEMANTIC_OBJECT_SENSOR": "semantic_object",
+        "EGOMAP_SENSOR": "egomap",
     }
     sensors = [mapping[s] for s in tc.TASK.SENSORS if s in mapping]
     if not sensors:
@@ -116,7 +118,45 @@ def build_world_from_config(
         max_hops=syn.MAX_HOPS,
         with_distractor=tc.SIMULATOR.AUDIO.HAS_DISTRACTOR_SOUND,
     )
+    if tc.DATASET.FRAME_CACHE_DIR:
+        _load_frame_banks_via_server(bank, tables, tc.DATASET.FRAME_CACHE_DIR)
     return bank, tables, episodes
+
+
+def _load_frame_banks_via_server(bank, tables_list, cache_dir: str) -> None:
+    """Replace the bank's frames with cached ones served by the native mmap
+    frame server (scripts/cache_observations.py writes them) — the runtime
+    counterpart of the reference's per-scene observation pickles loaded at
+    sim startup (soundspaces/simulator.py:62-93, 372-377)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from avlen_tpu.native.frame_server import FrameServer
+
+    n_max = int(bank.tables["positions"].shape[1])
+    rgbs, depths = [], []
+    for i, t in enumerate(tables_list):
+        nodes = np.repeat(np.arange(t.num_nodes, dtype=np.int32), 4)
+        rots = np.tile(np.arange(4, dtype=np.int32), t.num_nodes)
+        rgb_path = os.path.join(cache_dir, f"scene{i:03d}_rgb.avlf")
+        depth_path = os.path.join(cache_dir, f"scene{i:03d}_depth.avlf")
+        if not (os.path.exists(rgb_path) and os.path.exists(depth_path)):
+            raise FileNotFoundError(f"frame bank missing for scene {i} in {cache_dir}")
+        srv = FrameServer(rgb_path, dtype=np.uint8)
+        r = srv.gather(nodes, rots).reshape(t.num_nodes, 4, srv.h, srv.w, srv.c)
+        srv.close()
+        srv = FrameServer(depth_path, dtype=np.uint16)
+        d = srv.gather(nodes, rots).reshape(t.num_nodes, 4, srv.h, srv.w, srv.c)
+        srv.close()
+        rp = np.zeros((n_max,) + r.shape[1:], np.uint8)
+        dp = np.zeros((n_max,) + d.shape[1:], np.float32)
+        rp[: t.num_nodes] = r
+        dp[: t.num_nodes] = d.astype(np.float32) / 65535.0
+        rgbs.append(rp)
+        depths.append(dp)
+    bank.rgb = jnp.asarray(np.stack(rgbs))
+    bank.depth = jnp.asarray(np.stack(depths))
 
 
 def construct_batched_env(
@@ -150,7 +190,9 @@ def construct_batched_env(
     if bank.rgb is None:
         sensors = [s for s in sensors if s != "rgb"]
     if bank.depth is None:
-        sensors = [s for s in sensors if s != "depth"]
+        sensors = [s for s in sensors if s not in ("depth", "egomap")]
+    if bank.semantic is None:
+        sensors = [s for s in sensors if s != "semantic_object"]
 
     env_cfg = EnvConfig(
         max_episode_steps=tc.ENVIRONMENT.MAX_EPISODE_STEPS,

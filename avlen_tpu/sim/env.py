@@ -127,6 +127,9 @@ class EnvConfig:
     reward: RewardConfig = RewardConfig()
     has_distractor: bool = False
     record_pose_info: bool = False  # include agent trace in step metrics
+    # EgoMap sensor geometry (nav.py:236-406 MAP_SIZE/MAP_RESOLUTION)
+    egomap_size: int = 31
+    egomap_resolution: float = 0.5
 
 
 class BatchedAudioNavEnv:
@@ -142,12 +145,46 @@ class BatchedAudioNavEnv:
         self.eps = {k: jnp.asarray(v) for k, v in packed.items()}
         self.num_envs = int(packed["order"].shape[0])
         self.spec_config = SpectrogramConfig(sampling_rate=bank.sampling_rate)
-        self._step = jax.jit(self._step_impl)
-        self._observe_jit = jax.jit(self._observe)
+        if "semantic_object" in config.sensors and bank.semantic is not None:
+            from avlen_tpu.sim.mp3d_utils import mp3d_id_to_task_id
+
+            self._mp3d_to_task_table = jnp.asarray(mp3d_id_to_task_id())
+        # the scene bank + episode tables cross every jit boundary as runtime
+        # arguments (utils/hoist.py) — outer jits bind self.binder so nothing
+        # here lowers as an HLO literal (the axon remote-compile payload cap
+        # and compile latency both scale with embedded constants)
+        from avlen_tpu.utils.hoist import ConstBinder
+
+        self.binder = ConstBinder()
+        self.binder.add("bank", self.bank)
+        self.binder.add("eps", self.eps)
+        self._step = jax.jit(self._step_bound)
+        self._observe_jit = jax.jit(self._observe_bound)
+
+    @property
+    def consts(self):
+        """Pytree to pass as the ``consts`` argument of hoisted jits."""
+        return self.binder.arrays
+
+    @property
+    def _wbank(self) -> SceneBank:
+        return self.binder.get("bank")
+
+    @property
+    def _weps(self) -> Dict[str, jax.Array]:
+        return self.binder.get("eps")
+
+    def _step_bound(self, consts, state, actions, query):
+        with self.binder.bind(consts):
+            return self._step_impl(state, actions, query)
+
+    def _observe_bound(self, consts, state):
+        with self.binder.bind(consts):
+            return self._observe(state)
 
     # ------------------------------------------------------------------
     def _episode_fields(self, ep_i: jax.Array) -> Dict[str, jax.Array]:
-        e = self.eps
+        e = self._weps
         return {
             "scene": e["scene"][ep_i],
             "start_node": e["start_node"][ep_i],
@@ -165,7 +202,7 @@ class BatchedAudioNavEnv:
         }
 
     def _hops(self, scene: jax.Array, a: jax.Array, b: jax.Array) -> jax.Array:
-        return self.bank.tables["hops"][scene, a, b]
+        return self._wbank.tables["hops"][scene, a, b]
 
     def _dtg_goal(self, scene, node, goal) -> jax.Array:
         """Geodesic to the sound source (reward path, environments.py:160-166)."""
@@ -176,7 +213,7 @@ class BatchedAudioNavEnv:
         """DistanceToGoal with DISTANCE_TO=VIEW_POINTS (nav.py:959-1016)."""
         valid = view_points >= 0
         vp = jnp.where(valid, view_points, 0)
-        h = self.bank.tables["hops"][scene[:, None], node[:, None], vp]
+        h = self._wbank.tables["hops"][scene[:, None], node[:, None], vp]
         h = jnp.where(valid, h, UNREACHABLE)
         return jnp.min(h, axis=1).astype(jnp.float32) * self.config.grid_size
 
@@ -187,7 +224,7 @@ class BatchedAudioNavEnv:
         reference's per-process eval splits, base_trainer.py:185-289)."""
         b = self.num_envs
         cursor = jnp.zeros((b,), jnp.int32)
-        order = self.eps["order"] if order is None else jnp.asarray(order)
+        order = self._weps["order"] if order is None else jnp.asarray(order)
         ep_i = order[jnp.arange(b), cursor]
         f = self._episode_fields(ep_i)
         zero = jnp.zeros((b,), jnp.int32)
@@ -218,7 +255,7 @@ class BatchedAudioNavEnv:
             new_episode=jnp.ones((b,), bool),
             ep_order=order,
         )
-        return state, self._observe_jit(state)
+        return state, self._observe_jit(self.binder.arrays, state)
 
     # ------------------------------------------------------------------
     def step(self, state: EnvState, actions: jax.Array, query: Optional[QueryInfo] = None):
@@ -229,7 +266,7 @@ class BatchedAudioNavEnv:
                 query_num=jnp.zeros((b,), jnp.int32),
                 cons_reward=jnp.zeros((b,), jnp.float32),
             )
-        return self._step(state, actions, query)
+        return self._step(self.binder.arrays, state, actions, query)
 
     def _step_impl_noquery(self, state: EnvState, actions: jax.Array):
         """Pure step with no query shaping inputs — traceable inside scans."""
@@ -243,7 +280,7 @@ class BatchedAudioNavEnv:
 
     def _step_impl(self, state: EnvState, actions: jax.Array, query: QueryInfo):
         cfg = self.config
-        tables = self.bank.tables
+        tables = self._wbank.tables
 
         stop = actions == STOP
         fwd = actions == MOVE_FORWARD
@@ -371,7 +408,7 @@ class BatchedAudioNavEnv:
     # ------------------------------------------------------------------
     def _observe(self, state: EnvState) -> Dict[str, jax.Array]:
         cfg = self.config
-        bank = self.bank
+        bank = self._wbank
         obs: Dict[str, jax.Array] = {}
         sensors = set(cfg.sensors)
 
@@ -423,6 +460,29 @@ class BatchedAudioNavEnv:
         if "depth" in sensors and bank.depth is not None:
             obs["depth"] = bank.depth[state.scene, state.node, state.rot]
 
+        if "semantic_object" in sensors and bank.semantic is not None:
+            # SemanticObjectSensor (nav.py:570-698): pixel instance ids →
+            # mpcat40 (per-scene .house-derived table) → 21-way task ids
+            # (unknown classes collapse to id 21) as two device gathers
+            inst = bank.semantic[state.scene, state.node, state.rot]  # (B,H,W)
+            inst_map = bank.semantic_instance_to_mp3d[state.scene]  # (B, I)
+            inst = jnp.where(inst >= inst_map.shape[1], 0, inst)  # invalid → 0
+            bsz, hh, ww = inst.shape
+            mp3d = jnp.take_along_axis(inst_map, inst.reshape(bsz, -1), axis=1)
+            task = self._mp3d_to_task_table[jnp.clip(mp3d, 0, 199)]
+            obs["semantic_object"] = task.reshape(bsz, hh, ww)
+
+        if "egomap" in sensors and bank.depth is not None:
+            # EgoMap sensor exposure (nav.py:236-406): depth → egocentric
+            # top-down [obstacle, explored] map
+            from avlen_tpu.ops.mapping import depth_to_egomap
+
+            obs["egomap"] = depth_to_egomap(
+                bank.depth[state.scene, state.node, state.rot],
+                map_size=cfg.egomap_size,
+                resolution=cfg.egomap_resolution,
+            )
+
         b = state.node.shape[0]
         if "category" in sensors:
             obs["category"] = jax.nn.one_hot(state.category, cfg.num_categories)
@@ -438,7 +498,7 @@ class BatchedAudioNavEnv:
             # goal location in agent base frame: X forward, Y rightward
             # (habitat PointGoalWithGPSCompass with CARTESIAN 2D format,
             # habitat/tasks/nav/nav.py:290-330)
-            tables = self.bank.tables
+            tables = self._wbank.tables
             d = tables["positions"][state.scene, state.goal_node] - tables["positions"][state.scene, state.node]
             th = state.rot.astype(jnp.float32) * (jnp.pi / 2)
             fwd = -d[:, 0] * jnp.sin(th) - d[:, 2] * jnp.cos(th)
@@ -455,7 +515,7 @@ class BatchedAudioNavEnv:
 
     def _pose(self, state: EnvState) -> jax.Array:
         """Episodic (x=-local_dz, y=local_dx, heading, t) (nav.py:746-775)."""
-        tables = self.bank.tables
+        tables = self._wbank.tables
         pos = tables["positions"][state.scene, state.node]
         origin = tables["positions"][state.scene, state.start_node]
         d = pos - origin
@@ -470,7 +530,7 @@ class BatchedAudioNavEnv:
     def oracle_action(self, state: EnvState) -> jax.Array:
         """Greedy next oracle action from the current state (simulator.py:758-787):
         delta(direction, orientation): 0→FWD, 270→LEFT, 90/180→RIGHT; at goal→STOP."""
-        tables = self.bank.tables
+        tables = self._wbank.tables
         nxt = tables["oracle_next"][state.scene, state.node, state.goal_node]
         p1 = tables["positions"][state.scene, state.node]
         p2 = tables["positions"][state.scene, jnp.maximum(nxt, 0)]
@@ -488,7 +548,7 @@ class BatchedAudioNavEnv:
 
     # convenience: agent state for the speaker path (environments.py:141-157)
     def agent_state_host(self, state: EnvState) -> Dict[str, np.ndarray]:
-        tables = self.bank.tables
+        tables = self._wbank.tables
         return {
             "node": np.asarray(state.node),
             "rot": np.asarray(state.rot),

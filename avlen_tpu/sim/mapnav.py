@@ -58,7 +58,16 @@ class BatchedMapNavEnv:
         self.env = env
         self.config = config
         self.num_envs = env.num_envs
-        self._high_step = jax.jit(self._high_step_impl)
+        self.binder = env.binder  # asset banks as jit args (utils/hoist.py)
+        self._high_step = jax.jit(self._high_step_bound)
+
+    @property
+    def consts(self):
+        return self.binder.arrays
+
+    def _high_step_bound(self, consts, state, waypoint):
+        with self.binder.bind(consts):
+            return self._high_step_impl(state, waypoint)
 
     def reset(self):
         state, obs = self.env.reset()
@@ -143,7 +152,7 @@ class BatchedMapNavEnv:
     # ------------------------------------------------------------------
     def step(self, state: Tuple, waypoint: jnp.ndarray):
         """waypoint: (B,) flattened action-map cell index."""
-        return self._high_step(state, waypoint)
+        return self._high_step(self.binder.arrays, state, waypoint)
 
     def _high_step_impl(self, state: Tuple, waypoint: jnp.ndarray):
         env_state, mapper = state
@@ -206,7 +215,7 @@ class BatchedMapNavEnv:
         b = self.num_envs
         init_last = (self.env._observe(env_state), {k: jnp.zeros((b,)) for k in (
             "distance_to_goal", "normalized_distance_to_goal", "success", "spl",
-            "softspl", "na", "sna", "sws")})
+            "softspl", "na", "sna", "sws", "episode")})
         carry = (
             env_state, mapper, jnp.zeros((b,), bool), jnp.zeros((b,), jnp.float32),
             jnp.zeros((b,), bool), init_last,

@@ -120,3 +120,43 @@ class HouseReader:
 
     def objects_in_category(self, task_category: int) -> List[HouseObject]:
         return [o for o in self.objects if self.object_task_category(o) == task_category]
+
+
+# mpcat40 index per task category (SemanticObjectSensor's
+# category_to_mp3d_category_id, soundspaces/tasks/nav.py:616-637)
+CATEGORY_TO_MP3D_CATEGORY_ID = {
+    "chair": 3,
+    "table": 5,
+    "picture": 6,
+    "cabinet": 7,
+    "cushion": 8,
+    "sofa": 10,
+    "bed": 11,
+    "chest_of_drawers": 13,
+    "plant": 14,
+    "sink": 15,
+    "toilet": 18,
+    "stool": 19,
+    "towel": 20,
+    "tv_monitor": 22,
+    "shower": 23,
+    "bathtub": 25,
+    "counter": 26,
+    "fireplace": 27,
+    "gym_equipment": 33,
+    "seating": 34,
+    "clothes": 38,
+}
+
+NUM_TASK_CATEGORIES = max(CATEGORY_INDEX_MAPPING.values()) + 1  # 21
+
+
+def mp3d_id_to_task_id() -> np.ndarray:
+    """(200,) mpcat40 index → 21-way task id; unmapped classes collapse to
+    the extra 'unknown' id 21 (SemanticObjectSensor._initialize_category_
+    mappings, soundspaces/tasks/nav.py:640-651)."""
+    table = np.full((200,), -1, np.int32)
+    for name, task_id in CATEGORY_INDEX_MAPPING.items():
+        table[CATEGORY_TO_MP3D_CATEGORY_ID[name]] = task_id
+    table[table == -1] = NUM_TASK_CATEGORIES
+    return table

@@ -30,9 +30,11 @@ SPEED_OF_SOUND = 343.0
 class DenseRIRBank:
     """Device tensor of binaural RIRs indexed (scene, azimuth, receiver, source)."""
 
-    def __init__(self, rirs: np.ndarray):
-        assert rirs.ndim == 6 and rirs.shape[1] == 4 and rirs.shape[-1] == 2
-        self.rirs = jnp.asarray(rirs)
+    def __init__(self, rirs):
+        if not isinstance(rirs, jax.core.Tracer):
+            rirs = jnp.asarray(rirs)
+            assert rirs.ndim == 6 and rirs.shape[1] == 4 and rirs.shape[-1] == 2
+        self.rirs = rirs
 
     @property
     def length(self) -> int:
@@ -109,6 +111,10 @@ class SceneBank:
     rir: object  # provider with .gather/.length
     rgb: Optional[jax.Array] = None  # (S, N, 4, H, W, 3) uint8
     depth: Optional[jax.Array] = None  # (S, N, 4, H, W, 1) f32
+    # pixelwise instance-id frames + per-scene instance→mpcat40 remap for the
+    # SemanticObjectSensor channel (soundspaces/tasks/nav.py:570-698)
+    semantic: Optional[jax.Array] = None  # (S, N, 4, H, W) int32 instance ids
+    semantic_instance_to_mp3d: Optional[jax.Array] = None  # (S, I) int32
     grid_size: float = 1.0
     sampling_rate: int = 16000
     num_categories: int = 21
@@ -185,6 +191,53 @@ def precompute_spectrogram_bank(
         spec = render(*(jnp.asarray(part[:, j]) for j in range(5)))
         chunks.append(spec[: batch - pad] if pad else spec)
     return jnp.concatenate(chunks, axis=0).reshape(s, k, 4, n, n, f, t, 2)
+
+
+# ---------------------------------------------------------------------------
+# pytree registrations: SceneBank and the RIR providers cross jit boundaries
+# as ARGUMENTS (utils/hoist.py) — never as HLO literal constants. Auxiliary
+# scalars (rates, lengths, seeds) are static; device tensors are children.
+# ---------------------------------------------------------------------------
+def _register_pytrees() -> None:
+    jax.tree_util.register_pytree_node(
+        DenseRIRBank,
+        lambda b: ((b.rirs,), None),
+        lambda aux, ch: DenseRIRBank(ch[0]),
+    )
+
+    def _proc_flatten(b: ProceduralRIRBank):
+        aux = (b.length, b.sampling_rate, b.seed, b.tail_scale, b.tail_tau_s)
+        return (b.positions,), aux
+
+    def _proc_unflatten(aux, ch):
+        length, sr, seed, ts, tt = aux
+        return ProceduralRIRBank(
+            positions=ch[0], length=length, sampling_rate=sr, seed=seed,
+            tail_scale=ts, tail_tau_s=tt,
+        )
+
+    jax.tree_util.register_pytree_node(ProceduralRIRBank, _proc_flatten, _proc_unflatten)
+
+    _BANK_CHILDREN = (
+        "tables", "sounds_padded", "sound_secs", "rir", "rgb", "depth",
+        "semantic", "semantic_instance_to_mp3d", "spec_bank",
+    )
+    _BANK_AUX = ("grid_size", "sampling_rate", "num_categories")
+
+    def _bank_flatten(b: SceneBank):
+        return tuple(getattr(b, f) for f in _BANK_CHILDREN), tuple(
+            getattr(b, f) for f in _BANK_AUX
+        )
+
+    def _bank_unflatten(aux, ch):
+        kw = dict(zip(_BANK_CHILDREN, ch))
+        kw.update(zip(_BANK_AUX, aux))
+        return SceneBank(**kw)
+
+    jax.tree_util.register_pytree_node(SceneBank, _bank_flatten, _bank_unflatten)
+
+
+_register_pytrees()
 
 
 def pad_sounds(sounds: "list[np.ndarray]", rir_length: int, sampling_rate: int) -> "tuple[np.ndarray, np.ndarray]":

@@ -61,6 +61,33 @@ def make_frames(rng: np.random.RandomState, n_nodes: int, res: int = 64) -> Tupl
     return rgb, depth
 
 
+def make_semantic_frames(
+    rng: np.random.RandomState, n_nodes: int, res: int = 64, num_instances: int = 24
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Pixelwise instance-id frames + instance→mpcat40 map for the synthetic
+    SemanticObjectSensor channel: each (node, rot) view shows a few object
+    rectangles over background instance 0; instance ids map to a random mix
+    of the 21 mapped mpcat40 classes and unmapped ('unknown') ones."""
+    from avlen_tpu.sim.mp3d_utils import CATEGORY_TO_MP3D_CATEGORY_ID
+
+    frames = np.zeros((n_nodes, 4, res, res), np.int32)
+    for node in range(n_nodes):
+        for rot in range(4):
+            for _ in range(rng.randint(1, 4)):
+                inst = rng.randint(1, num_instances)
+                r0, c0 = rng.randint(0, res, 2)
+                h, w = rng.randint(res // 8, res // 2, 2)
+                frames[node, rot, r0 : r0 + h, c0 : c0 + w] = inst
+    mapped = np.asarray(sorted(CATEGORY_TO_MP3D_CATEGORY_ID.values()), np.int32)
+    inst_to_mp3d = np.where(
+        rng.rand(num_instances) < 0.75,
+        mapped[rng.randint(0, len(mapped), num_instances)],
+        rng.randint(0, 200, num_instances),  # mostly-unmapped ids
+    ).astype(np.int32)
+    inst_to_mp3d[0] = 0  # background → void (unmapped)
+    return frames, inst_to_mp3d
+
+
 def make_sounds(rng: np.random.RandomState, num_sounds: int, sampling_rate: int, secs: int = 1) -> List[np.ndarray]:
     """Band-limited noise bursts with per-sound spectral envelopes."""
     sounds = []
@@ -171,18 +198,24 @@ def make_scene_bank(
     stacked = pad_and_stack_tables(tables_list)
     n_max = stacked["positions"].shape[1]
 
-    rgb = depth = None
+    rgb = depth = semantic = inst_maps = None
     if with_frames:
-        rgbs, depths = [], []
+        rgbs, depths, sems, maps = [], [], [], []
         for t in tables_list:
             r, d = make_frames(rng, t.num_nodes, frame_res)
+            s, m = make_semantic_frames(rng, t.num_nodes, frame_res)
             rp = np.zeros((n_max,) + r.shape[1:], np.uint8)
             dp = np.zeros((n_max,) + d.shape[1:], np.float32)
-            rp[: t.num_nodes], dp[: t.num_nodes] = r, d
+            sp = np.zeros((n_max,) + s.shape[1:], np.int32)
+            rp[: t.num_nodes], dp[: t.num_nodes], sp[: t.num_nodes] = r, d, s
             rgbs.append(rp)
             depths.append(dp)
+            sems.append(sp)
+            maps.append(m)
         rgb = jnp.asarray(np.stack(rgbs))
         depth = jnp.asarray(np.stack(depths))
+        semantic = jnp.asarray(np.stack(sems))
+        inst_maps = jnp.asarray(np.stack(maps))
 
     sounds = make_sounds(rng, num_sounds, sampling_rate, sound_secs)
     sounds_padded, secs = pad_sounds(sounds, rir_length, sampling_rate)
@@ -197,6 +230,8 @@ def make_scene_bank(
         ),
         rgb=rgb,
         depth=depth,
+        semantic=semantic,
+        semantic_instance_to_mp3d=inst_maps,
         grid_size=grid_size,
         sampling_rate=sampling_rate,
     )

@@ -61,6 +61,37 @@ def restore_into(target, state_dict):
     return serialization.from_state_dict(target, state_dict)
 
 
+def merge_matching_params(target, source):
+    """Partial checkpoint load: copy ``source`` leaves into ``target`` where
+    the same nested path exists with the same shape (the reference's
+    filtered load_state_dict for cross-stage weight transfer, e.g. SMT
+    pretraining → finetune, ss_baselines/savi/ppo/ppo_trainer.py:301-513 —
+    stage nets differ in prediction heads / goal wiring). Returns
+    (merged, copied_paths, skipped_paths)."""
+    copied: List[str] = []
+    skipped: List[str] = []
+
+    def rec(t, s, path):
+        if isinstance(t, dict) and isinstance(s, dict):
+            out = {}
+            for k, v in t.items():
+                if k in s:
+                    out[k] = rec(v, s[k], path + (k,))
+                else:
+                    skipped.append("/".join(path + (k,)))
+                    out[k] = v
+            return out
+        ts = getattr(t, "shape", None)
+        ss = getattr(s, "shape", None)
+        if ts == ss:
+            copied.append("/".join(path))
+            return jax.numpy.asarray(s) if hasattr(s, "shape") else s
+        skipped.append("/".join(path))
+        return t
+
+    return rec(target, source, ()), copied, skipped
+
+
 def poll_checkpoint_folder(folder: str, previous_index: int) -> Optional[str]:
     """Next ``ckpt.{i}.pth`` after previous_index (common/utils.py:159-186)."""
     paths = list_checkpoints(folder)

@@ -39,6 +39,49 @@ def _disk(img: np.ndarray, center, radius: int, color) -> None:
                     img[y, x] = color
 
 
+def reveal_fog_of_war(
+    obstacle_map: np.ndarray,
+    fog: np.ndarray,
+    agent_yx: Tuple[int, int],
+    heading_rad: float,
+    fov_deg: float = 90.0,
+    max_line_len: int = 100,
+    rays_per_deg: float = 1.0,
+) -> np.ndarray:
+    """Ray-cast field-of-view reveal (habitat fog_of_war.py:reveal_fog_of_war):
+    marches rays from the agent cell across the fov cone, marking traversed
+    cells visible until the first obstacle (which is itself revealed).
+    ``obstacle_map`` (H, W) bool/int, ``fog`` (H, W) uint8 accumulator;
+    returns the updated fog (in place semantics like the reference).
+
+    ``heading_rad`` follows the map convention of draw_top_down_map:
+    0 points up the image (-y), increasing CCW."""
+    h, w = fog.shape
+    y0, x0 = int(agent_yx[0]), int(agent_yx[1])
+    num_rays = max(int(fov_deg * rays_per_deg), 3)
+    angles = heading_rad + np.deg2rad(np.linspace(-fov_deg / 2, fov_deg / 2, num_rays))
+    for a in angles:
+        dy, dx = -np.cos(a), -np.sin(a)  # heading 0 = up the image
+        for t in range(max_line_len):
+            y = int(round(y0 + dy * t))
+            x = int(round(x0 + dx * t))
+            if not (0 <= y < h and 0 <= x < w):
+                break
+            fog[y, x] = 1
+            if obstacle_map[y, x]:
+                break
+    return fog
+
+
+def apply_fog_to_image(img: np.ndarray, fog: np.ndarray, dim: float = 0.35) -> np.ndarray:
+    """Dim unrevealed pixels (the reference composites fog as the
+    MAP_INVALID/MAP_VALID overlay in colorize_draw_agent_and_fit_to_height)."""
+    out = img.astype(np.float32)
+    mask = fog.astype(np.float32)[..., None]
+    out = out * (mask + (1.0 - mask) * dim)
+    return out.astype(np.uint8)
+
+
 def draw_top_down_map(
     positions: np.ndarray,
     edges: np.ndarray,
@@ -47,8 +90,11 @@ def draw_top_down_map(
     goal_node: int,
     trail: Optional[Sequence[int]] = None,
     size: int = 256,
+    fog: Optional[np.ndarray] = None,
 ) -> np.ndarray:
-    """(size, size, 3) uint8 top-down view of the scene graph state."""
+    """(size, size, 3) uint8 top-down view of the scene graph state.
+    ``fog``: optional (size, size) uint8 fog-of-war accumulator — pass the
+    running per-episode fog (see reveal_fog_of_war) to dim unexplored area."""
     img = np.full((size, size, 3), BG_COLOR, np.uint8)
     px, scale, _ = _to_px(positions, size)
 
@@ -71,4 +117,6 @@ def draw_top_down_map(
     fwd = np.array([-np.sin(th), -np.cos(th)])  # (x, z)
     tip = px[agent_node] + (fwd * 8).astype(np.int32)
     _disk(img, tip, 1, AGENT_COLOR)
+    if fog is not None:
+        img = apply_fog_to_image(img, fog)
     return img

@@ -104,9 +104,30 @@ def main(root: str) -> None:
             cache[(node, angle)] = {
                 "rgb": rng.randint(0, 255, (16, 16, 3), dtype=np.uint8),
                 "depth": rng.rand(16, 16, 1).astype(np.float32),
+                # pixelwise instance ids (SemanticObjectSensor input,
+                # soundspaces/tasks/nav.py:676-698): instances 0..2
+                "semantic": rng.randint(0, 3, (16, 16), dtype=np.int32),
             }
     with open(os.path.join(obs_dir, scene + ".pkl"), "wb") as f:
         pickle.dump(cache, f)
+
+    # --- .house metadata (instance → mpcat40 for the semantic remap) -------
+    house = "\n".join(
+        [
+            "H name 0 0 0 0 0 0 11 1 1 3 2 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0",
+            "L 0 1 0 label 0 0 0 0 0 0 0 0 0 0 0 0 0",
+            "R 0 0 0 0 b 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0",
+            "C 3 3 chair 3 chair 0 0 0 0 0",
+            "C 7 7 bath#tub 25 bathtub 0 0 0 0 0",
+            # instance 0 chair, instance 1 bathtub, instance 2 chair
+            "O 0 0 3 1.0 2.0 3.0 1 0 0 0 1 0 0.5 0.5 0.5 0 0 0 0 0 0 0 0",
+            "O 1 0 7 4.0 5.0 6.0 1 0 0 0 1 0 1.0 1.0 1.0 0 0 0 0 0 0 0 0",
+            "O 2 0 3 7.0 8.0 9.0 1 0 0 0 1 0 1.0 1.0 1.0 0 0 0 0 0 0 0 0",
+            "",
+        ]
+    )
+    with open(os.path.join(meta_dir, scene + ".house"), "w") as f:
+        f.write(house)
 
     # --- episode dataset ---------------------------------------------------
     def episode(eid, start, rot_deg, goal, sound, offset, duration, category,

@@ -80,11 +80,46 @@ def test_frame_cache_round_trip():
     rgb, depth, semantic = load_frame_cache(OBS_PKL, num_nodes=4)
     assert rgb.shape == (4, 4, 16, 16, 3) and rgb.dtype == np.uint8
     assert depth.shape == (4, 4, 16, 16, 1)
-    assert semantic is None
+    assert semantic.shape == (4, 4, 16, 16)
     with open(OBS_PKL, "rb") as f:
         raw = pickle.load(f)
     np.testing.assert_array_equal(rgb[2, 1], raw[(2, 90)]["rgb"])
     np.testing.assert_allclose(depth[3, 3], raw[(3, 270)]["depth"])
+    np.testing.assert_array_equal(semantic[1, 0], raw[(1, 0)]["semantic"])
+
+
+def test_reference_bank_semantic_channel(tmp_path):
+    """build_reference_scene_bank wires semantic frames + the .house-derived
+    instance→mpcat40 table, and the env serves task-id frames from them
+    (SemanticObjectSensor chain, nav.py:676-698)."""
+    from avlen_tpu.core.episodes import pack_episodes
+    from avlen_tpu.data.reference import ReferenceDataConfig, build_reference_scene_bank
+    from avlen_tpu.sim.env import BatchedAudioNavEnv, EnvConfig
+    from avlen_tpu.sim.mp3d_utils import mp3d_id_to_task_id
+
+    cfg = ReferenceDataConfig(
+        metadata_dir=os.path.join(ROOT, "metadata", "mp3d"),
+        binaural_rir_dir=os.path.join(ROOT, "binaural_rirs", "mp3d"),
+        source_sound_dir=SOUND_DIR,
+        data_path=DATA_PATH,
+        scene_observations_dir=os.path.join(ROOT, "scene_observations", "mp3d"),
+        sampling_rate=4000,
+    )
+    bank, tables, episodes = build_reference_scene_bank(cfg)
+    assert bank.semantic is not None and bank.semantic.shape[:2] == (1, 4)
+    # instance 0/2 → chair (mpcat40 3), instance 1 → bathtub (25)
+    np.testing.assert_array_equal(np.asarray(bank.semantic_instance_to_mp3d)[0], [3, 25, 3])
+
+    env = BatchedAudioNavEnv(
+        bank,
+        pack_episodes(episodes, num_envs=2),
+        EnvConfig(max_episode_steps=5, sensors=("spectrogram", "pose", "semantic_object")),
+    )
+    state, obs = env.reset()
+    sem = np.asarray(obs["semantic_object"])
+    table = mp3d_id_to_task_id()
+    inst = np.asarray(bank.semantic)[int(state.scene[0]), int(state.node[0]), int(state.rot[0])]
+    np.testing.assert_array_equal(sem[0], table[np.asarray(bank.semantic_instance_to_mp3d)[0][inst]])
 
 
 def test_episode_loading_resolves_nodes_and_fields():
