@@ -36,6 +36,22 @@ class Vocabulary:
         self.idx2word: List[str] = list(dict.fromkeys(words))
         self.word2idx: Dict[str, int] = {w: i for i, w in enumerate(self.idx2word)}
 
+    @classmethod
+    def from_file(cls, path: str) -> "Vocabulary":
+        """Load an R2R-style vocab file (one word per line — the reference's
+        tasks/R2R/data/train_vocab.txt consumed by read_vocab/Tokenizer,
+        speaker/tasks/R2R/utils.py). Special tokens already present in the
+        file keep their positions; otherwise ours are prepended."""
+        with open(path) as f:
+            words = [w.strip() for w in f if w.strip()]
+        v = cls.__new__(cls)
+        if PAD in words:
+            v.idx2word = list(dict.fromkeys(words))
+        else:
+            v.idx2word = list(dict.fromkeys([PAD, BOS, EOS, UNK] + words))
+        v.word2idx = {w: i for i, w in enumerate(v.idx2word)}
+        return v
+
     def __len__(self) -> int:
         return len(self.idx2word)
 

@@ -34,7 +34,20 @@ def find_best_ckpt_idx(event_dir_path: str, scalar: str = "val/spl"):
     return best.step
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache shared by every CLI entry (repo-local)."""
+    import os
+
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
 def main(argv: Optional[List[str]] = None) -> None:
+    _enable_compile_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--run-type", choices=["train", "eval"], default="train")
     parser.add_argument("--exp-config", type=str, default=None)

@@ -37,6 +37,15 @@ import numpy as np
 def _note(msg: str) -> None:
     print(f"[bench] {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr, flush=True)
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache: repeat runs (the driver re-runs this
+    every round) skip the multi-minute 1-core compiles."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 # per-GPU rollout+update steps/sec ESTIMATE (BASELINE.md: no published number)
 REFERENCE_FPS = 150.0
 
@@ -258,6 +267,7 @@ def bench_interactive(num_envs: int, iters: int):
 def main() -> None:
     import jax
 
+    _enable_compile_cache()
     _note("savi banked: building")
     fps, mfu = bench_savi(num_envs=128, t_steps=150, iters=5, banked=True)
     _note(f"savi banked: {fps:.0f} fps, mfu {mfu}")

@@ -22,8 +22,11 @@ import argparse
 import glob
 import json
 import os
+import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def scrape_tb(event_dir: str):
@@ -53,14 +56,16 @@ def main() -> None:
 
     from avlen_tpu.config import get_config
     from avlen_tpu.core.registry import registry
+    from avlen_tpu.run import _enable_compile_cache
     import avlen_tpu.rl.trainers  # noqa: F401
+
+    _enable_compile_cache()
 
     def n(x):
         return str(max(2, int(round(x * args.scale))))
 
     world = [
         "SEED", str(args.seed),
-        "TASK_CONFIG.SEED", str(args.seed),
         "TASK_CONFIG.DATASET.SYNTHETIC.NUM_SCENES", "2",
         "TASK_CONFIG.DATASET.SYNTHETIC.SIDE", "6",
         "TASK_CONFIG.DATASET.SYNTHETIC.SEED", "0",

@@ -49,3 +49,23 @@ def pytest_configure(config):
     sys.stdout.flush()
     sys.stderr.flush()
     os.execve(sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
+
+
+import gc
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_jax_state_between_modules():
+    """Release compiled executables + live buffers after each test module.
+
+    ~150 jit-heavy tests in one process accumulate XLA executables (and
+    their thread pools / buffers); on small hosts the CPU client eventually
+    aborts. Each module recompiles what it needs anyway, so dropping the
+    caches trades a little compile time for a bounded footprint."""
+    yield
+    import jax
+
+    jax.clear_caches()
+    gc.collect()
