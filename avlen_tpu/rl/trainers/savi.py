@@ -40,7 +40,7 @@ from avlen_tpu.rl.rollout_smt import SMTCarry, collect_rollout_smt, evaluate_seq
 from avlen_tpu.rl.trainers.avnav import ppo_config_from
 from avlen_tpu.rl.trainers.base import METRIC_BLACKLIST, BaseRLTrainer
 from avlen_tpu.sim.builder import construct_batched_env
-from avlen_tpu.utils.checkpoint import save_checkpoint
+from avlen_tpu.utils.checkpoint import merge_matching_params, save_checkpoint
 from avlen_tpu.utils.logging import logger
 from avlen_tpu.utils.tb import TensorboardWriter
 
@@ -103,8 +103,6 @@ class SaviTrainer(BaseRLTrainer):
         elif smt_cfg.use_pretrained and smt_cfg.pretrained_path:
             pretrained_path = smt_cfg.pretrained_path
         if pretrained_path and os.path.exists(pretrained_path):
-            from avlen_tpu.utils.checkpoint import merge_matching_params
-
             ckpt = self.load_checkpoint(pretrained_path)
             self.params, copied, skipped = merge_matching_params(
                 self.params, ckpt["state_dict"]
@@ -125,6 +123,16 @@ class SaviTrainer(BaseRLTrainer):
             self.belief_params = self.belief_net.init(
                 jax.random.fold_in(key, 1), obs["spectrogram"], obs.get("category")
             )
+            if bp_cfg.pretrained_path and os.path.exists(bp_cfg.pretrained_path):
+                # offline-pretrained belief predictor (reference loads it in
+                # _setup_actor_critic_agent, ppo_trainer.py:150-170)
+                ckpt = self.load_checkpoint(bp_cfg.pretrained_path)
+                self.belief_params, bcopied, _ = merge_matching_params(
+                    self.belief_params, ckpt["state_dict"]
+                )
+                logger.info(
+                    f"loaded belief predictor from {bp_cfg.pretrained_path} ({len(bcopied)} tensors)"
+                )
             if bp_cfg.online_training:
                 self.belief_optimizer = optax.adam(bp_cfg.lr)
                 self.belief_opt_state = self.belief_optimizer.init(self.belief_params)

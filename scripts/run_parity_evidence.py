@@ -66,17 +66,19 @@ def main() -> None:
 
     world = [
         "SEED", str(args.seed),
-        "TASK_CONFIG.DATASET.SYNTHETIC.NUM_SCENES", "2",
-        "TASK_CONFIG.DATASET.SYNTHETIC.SIDE", "6",
+        "TASK_CONFIG.DATASET.SYNTHETIC.NUM_SCENES", "1",
+        "TASK_CONFIG.DATASET.SYNTHETIC.SIDE", "5",
         "TASK_CONFIG.DATASET.SYNTHETIC.SEED", "0",
         "TASK_CONFIG.DATASET.SYNTHETIC.RIR_LENGTH", "2000",
         "TASK_CONFIG.DATASET.SYNTHETIC.FRAME_RES", "64",
-        "TASK_CONFIG.DATASET.SYNTHETIC.NUM_EPISODES", "400",
+        "TASK_CONFIG.DATASET.SYNTHETIC.NUM_EPISODES", "300",
+        "TASK_CONFIG.DATASET.SYNTHETIC.MIN_HOPS", "1",
+        "TASK_CONFIG.DATASET.SYNTHETIC.MAX_HOPS", "8",
         "TASK_CONFIG.SIMULATOR.AUDIO.RIR_SAMPLING_RATE", "8000",
-        "TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS", "60",
+        "TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS", "40",
         "NUM_PROCESSES", "32",
-        "LOG_INTERVAL", "5",
-        "RL.PPO.num_steps", "60",
+        "LOG_INTERVAL", "10",
+        "RL.PPO.num_steps", "40",
         "RL.PPO.num_mini_batch", "2",
         "RL.PPO.ppo_epoch", "2",
         "RL.PPO.hidden_size", "128",
@@ -84,7 +86,7 @@ def main() -> None:
         "RL.PPO.CLIP_LAYERS", "4",
         "RL.PPO.SCENE_MEMORY_TRANSFORMER.hidden_size", "128",
         "NUM_DIALOG_STEPS", "4",
-        "CHECKPOINT_INTERVAL", "50",
+        "CHECKPOINT_INTERVAL", "100",
     ]
     curves = {}
 
@@ -95,9 +97,23 @@ def main() -> None:
             curves[f"{stage}/{tag}"] = (steps, vals)
         print(f"[parity] stage {stage} done")
 
+    # stage 0: offline belief (audiogoal predictor) pretraining on the
+    # SAME world bank (the recipe's pretraining stage, SURVEY.md §2.8)
+    from avlen_tpu.pretraining.audiogoal_predictor import train_audiogoal_predictor
+    from avlen_tpu.sim.builder import build_world_from_config
+
+    cfg0 = get_config(opts=world, model_dir=os.path.join(w, "belief"))
+    bank0, _, _ = build_world_from_config(cfg0, with_rgb=False, with_depth=False)
+    train_audiogoal_predictor(
+        bank0, num_steps=int(300 * args.scale), batch=64,
+        checkpoint_dir=os.path.join(w, "belief"), log_interval=100,
+    )
+    belief_ckpt = os.path.join(w, "belief", "label_predictor.pth")
+    print("[parity] stage belief_pretrain done")
+
     # stage 1: SAVi SMT pretraining (memory 1)
     run("savi_pretrain", "savi", [
-        "NUM_UPDATES", n(120),
+        "NUM_UPDATES", n(300),
         "RL.PPO.SCENE_MEMORY_TRANSFORMER.memory_size", "1",
         "RL.PPO.SCENE_MEMORY_TRANSFORMER.pretraining", "True",
     ], os.path.join(w, "savi_pre"))
@@ -106,10 +122,11 @@ def main() -> None:
 
     # stage 2: SAVi finetune (memory 30) + online belief predictor
     run("savi_finetune", "savi", [
-        "NUM_UPDATES", n(200),
+        "NUM_UPDATES", n(400),
         "RL.PPO.SCENE_MEMORY_TRANSFORMER.memory_size", "30",
         "RL.PPO.use_belief_predictor", "True",
         "RL.PPO.BELIEF_PREDICTOR.online_training", "True",
+        "RL.PPO.BELIEF_PREDICTOR.pretrained_path", belief_ckpt,
         "RL.DDPPO.pretrained", "True",
         "RL.DDPPO.pretrained_weights", pre_ckpt,
     ], os.path.join(w, "savi"))
@@ -119,7 +136,7 @@ def main() -> None:
     run("dialog_pretrain", "ddppo", [
         "DIALOG_TRAINING", "True",
         "RL.PPO.policy_type", "dialog",
-        "NUM_UPDATES_DIALOG", n(80),
+        "NUM_UPDATES_DIALOG", n(150),
         "CHECKPOINT_INTERVAL_DIALOG", "40",
         "RL.PPO.SCENE_MEMORY_TRANSFORMER.memory_size", "30",
     ], os.path.join(w, "vln"))
@@ -127,10 +144,11 @@ def main() -> None:
 
     # stage 4: AVLEN interactive (pi_q PPO + pi_l replay)
     run("interactive", "ddppo", [
-        "NUM_UPDATES", n(150),
+        "NUM_UPDATES", n(200),
         "RL.PPO.policy_type", "interactive",
         "RL.PPO.SCENE_MEMORY_TRANSFORMER.memory_size", "30",
         "RL.PPO.use_belief_predictor", "True",
+        "RL.PPO.BELIEF_PREDICTOR.pretrained_path", belief_ckpt,
         "REPLAY_STORE", "True",
         "GOAL_CKPT_PATH", goal_ckpt,
         "VLN_CKPT_PATH", vln_ckpt,
