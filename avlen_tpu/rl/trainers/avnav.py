@@ -90,6 +90,7 @@ class AVNavTrainer(BaseRLTrainer):
             env_state=state, obs=obs, hidden=hidden,
             masks=jnp.zeros((b,), jnp.float32), key=key,
         )
+        self.mesh = self._make_train_mesh(b)
         self._build_jits()
 
     def _build_jits(self):
@@ -124,6 +125,24 @@ class AVNavTrainer(BaseRLTrainer):
 
         self._collect = jax.jit(collect_bound, static_argnames=("deterministic",))
         self._update = jax.jit(update)
+
+        # multi-chip: the GRU stack on make_ddppo_step (shard_map superstep,
+        # pmean grad sync — the DDPPOTrainer path, ddppo_trainer.py:515-1200)
+        self._ddppo = None
+        if self.mesh is not None:
+            from avlen_tpu.parallel.ddppo import make_ddppo_step, shard_carry
+
+            self._ddppo = make_ddppo_step(
+                env._step_impl_noquery,
+                lambda p, o, h, m, k: policy.apply(p, o, h, m, k, False, method=Policy.act),
+                lambda p, o, h, m: policy.apply(p, o, h, m, method=Policy.get_value),
+                lambda p, o, h0, masks, a: policy.apply(
+                    p, o, h0, masks, a, method=Policy.evaluate_actions
+                ),
+                optimizer, ppo_cfg, num_steps, self.mesh, self.carry,
+                self.params, self.opt_state, binder=env.binder,
+            )
+            self.carry = shard_carry(self.carry, self.mesh)
 
     # ------------------------------------------------------------------
     def train(self) -> None:
@@ -161,17 +180,28 @@ class AVNavTrainer(BaseRLTrainer):
         with TensorboardWriter(cfg.TENSORBOARD_DIR) as writer:
             for update in range(cfg.NUM_UPDATES):
                 t0 = time.time()
-                self.carry, batch = self._collect(self.env.consts, self.params, self.carry)
-                jax.block_until_ready(batch.rewards)
-                t1 = time.time()
                 key, sub = jax.random.split(key)
-                self.params, self.opt_state, stats = self._update(
-                    self.params, self.opt_state, batch, sub
-                )
-                jax.block_until_ready(stats["value_loss"])
-                t2 = time.time()
-                env_time += t1 - t0
-                pth_time += t2 - t1
+                if self._ddppo is not None:
+                    # fused sharded superstep: rollout+update in one program
+                    self.params, self.opt_state, self.carry, batch, stats = (
+                        self._ddppo.step_fn(
+                            self.params, self.opt_state, self.carry, sub, self.env.consts
+                        )
+                    )
+                    jax.block_until_ready(stats["value_loss"])
+                    t1 = t2 = time.time()
+                    env_time += t1 - t0  # fused: device time counts as env+update
+                else:
+                    self.carry, batch = self._collect(self.env.consts, self.params, self.carry)
+                    jax.block_until_ready(batch.rewards)
+                    t1 = time.time()
+                    self.params, self.opt_state, stats = self._update(
+                        self.params, self.opt_state, batch, sub
+                    )
+                    jax.block_until_ready(stats["value_loss"])
+                    t2 = time.time()
+                    env_time += t1 - t0
+                    pth_time += t2 - t1
 
                 rewards = np.asarray(batch.rewards)
                 dones = np.asarray(batch.dones)

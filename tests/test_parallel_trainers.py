@@ -248,3 +248,28 @@ def test_infer_env_specs_rules():
     assert specs["traj"] == P(None, "data")
     assert specs["scalar"] == P()
     assert specs["const"] == P()
+
+
+# ---------------------------------------------------------------------------
+def test_avnav_trainer_uses_mesh_and_trains(tmp_path):
+    """The GRU (AV-Nav) stack trains data-parallel through make_ddppo_step
+    when TPU.MESH_SHAPE spans the virtual mesh."""
+    import avlen_tpu.rl.trainers  # noqa: F401
+    from avlen_tpu.config import get_config
+    from avlen_tpu.core.registry import registry
+
+    cfg = get_config(
+        opts=tiny_opts(**{"TRAINER_NAME": "AVNavTrainer"}), model_dir=str(tmp_path)
+    )
+    trainer = registry.get_trainer("AVNavTrainer")(cfg)
+    trainer.ensure_setup()
+    assert trainer.mesh is not None and trainer.mesh.devices.size == 8
+    assert trainer._ddppo is not None
+    p0 = jax.tree.map(np.asarray, trainer.params)
+    trainer.train()
+    moved = jax.tree.leaves(
+        jax.tree.map(lambda a, b: float(np.abs(np.asarray(b) - a).max()), p0, trainer.params)
+    )
+    assert max(moved) > 0.0
+    for leaf in jax.tree.leaves(trainer.params):
+        assert np.isfinite(np.asarray(leaf)).all()
