@@ -27,6 +27,18 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+@pytest.fixture(autouse=True)
+def _clear_caches_each_test():
+    """Mesh trainer tests each compile multi-device shard_map programs; on
+    this 1-core host the CPU client aborts if several accumulate in-process,
+    so drop executables after every test in this module."""
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
+
+
 def tiny_opts(**overrides):
     base = {
         "TASK_CONFIG.DATASET.SYNTHETIC.SIDE": "5",
