@@ -65,8 +65,11 @@ _C.SOUND_TYPE = "unheard"
 _C.TPU = CN()
 _C.TPU.MESH_AXES = ["data"]
 _C.TPU.MESH_SHAPE = [-1]  # -1 = all available devices on the axis
-_C.TPU.PRECISION = "bfloat16"  # compute dtype for encoders/transformers
-_C.TPU.DONATE_ROLLOUTS = True
+# compute dtype for every tower/transformer (params stay f32). float32 by
+# default so CPU tests and cross-device parity checks are bit-stable; TPU
+# recipes and bench.py set bfloat16 (MXU-native).
+_C.TPU.PRECISION = "float32"
+_C.TPU.DONATE_ROLLOUTS = True  # donate superstep carry buffers (no copy)
 
 # -- EVAL -------------------------------------------------------------------
 _C.EVAL = CN()
@@ -166,6 +169,19 @@ _C.RL.DDPPO.pretrained = False
 _C.RL.DDPPO.reset_critic = True
 _C.RL.DDPPO.master_port = None
 
+# -- speaker / oracle-instruction source ------------------------------------
+# The reference invokes a pretrained R2R speaker on every query
+# (ppo_trainer.py:549-562, speaker_pipeline.py:110-124). Here the source is
+# configurable: template or neural backend, and banked (precomputed token
+# tensor, zero host round-trips) or per-query host callback (scale-safe for
+# real Matterport scene sizes where an O(N^2) bank is infeasible).
+_C.SPEAKER = CN()
+_C.SPEAKER.BACKEND = "template"  # template | neural
+_C.SPEAKER.CKPT_PATH = ""  # neural speaker checkpoint (train_speaker output)
+_C.SPEAKER.USE_PANO_FEATURES = False  # heading-aligned panorama view features
+_C.SPEAKER.BANK_MODE = "auto"  # auto | bank | callback
+_C.SPEAKER.MAX_BANK_NODES = 64  # auto: callback when a scene exceeds this
+
 # -- dialog / AVLEN ---------------------------------------------------------
 _C.DIALOG_TRAINING = False
 _C.DIALOG_TRAINING_WITHOUT_DIALOG = False
@@ -242,6 +258,10 @@ _TC.SIMULATOR.AUDIO.HAS_DISTRACTOR_SOUND = False
 _TC.SIMULATOR.AUDIO.DISTRACTOR_SOUND_DIR = "data/sounds/1s_all_distractor"
 # TPU-native: cap on padded RIR length in samples (bucketed padding)
 _TC.SIMULATOR.AUDIO.MAX_RIR_LENGTH = 24000
+# reference-data RIR storage: dense device bank below this byte size,
+# mmap HostRIRStore (io_callback gathers) above. Force 0 to route ALL audio
+# through the host store (real-Matterport-scale path).
+_TC.SIMULATOR.AUDIO.DENSE_RIR_MAX_BYTES = 2147483648
 # Precompute the full spectrogram bank on device (the reference's
 # _spectrogram_cache steady state); auto-skipped for multi-second sounds,
 # distractors, or when the bank exceeds the byte budget.
@@ -345,6 +365,13 @@ _TC.DATASET.DATA_PATH = "data/datasets/audionav/{split}/{split}.json.gz"
 # frame server at env build; the counterpart of USE_RENDERED_OBSERVATIONS
 # pickles for the synthetic path
 _TC.DATASET.FRAME_CACHE_DIR = ""
+# heard/unheard protocol (the paper's eval splits; reference eval switch at
+# soundspaces/tasks/semantic_audionav_task.py:222-224): sounds listed here
+# are HELD OUT of training — train episodes using one are remapped onto the
+# train sound set — and SOUND_TYPE=unheard evals remap every episode onto
+# them (heard evals stay on the train set). Entries are sound ids
+# (synthetic) or sound file names (reference data).
+_TC.DATASET.HELD_OUT_SOUNDS = []
 # Synthetic world generation (used when TYPE == "synthetic"; this environment
 # ships no Matterport/Replica assets, so tests and benchmarks run on
 # procedurally generated scenes — see avlen_tpu/sim/synthetic.py)

@@ -172,6 +172,99 @@ class EpisodeIterator:
         return e
 
 
+def _deal_to_slots(episodes: Sequence[Episode], num_envs: int) -> List[List[int]]:
+    """Scene-grouped round-robin deal of episode indices to env slots (the
+    reference splits scenes across processes in construct_envs,
+    ss_baselines/common/env_utils.py:66-70)."""
+    by_scene: Dict[int, List[int]] = {}
+    for i, ep in enumerate(episodes):
+        by_scene.setdefault(ep.scene_id, []).append(i)
+    env_lists: List[List[int]] = [[] for _ in range(num_envs)]
+    for k, s in enumerate(sorted(by_scene)):
+        env_lists[k % num_envs].extend(by_scene[s])
+    for b in range(num_envs):
+        if not env_lists[b]:
+            env_lists[b] = list(range(len(episodes)))
+    return env_lists
+
+
+class EpisodeStreamer:
+    """Host-side per-slot episode streams honoring ITERATOR_OPTIONS.
+
+    The batched env consumes episodes from a fixed-shape per-slot order
+    tensor (`EnvState.ep_order`); left alone, that order would cycle forever
+    in its initial sequence — no reshuffle between cycles, no forced scene
+    switches (the round-2 gap). The streamer keeps one `EpisodeIterator` per
+    slot (shuffle-per-cycle, scene grouping, max_scene_repeat forcing —
+    habitat dataset.py:310-356) over that slot's episode subset and re-deals
+    the *future* of each slot's order between supersteps: `refresh(cursors)`
+    drops exactly the episodes consumed since the last refresh and appends
+    fresh draws, preserving the iterator's once-per-cycle guarantee. Pure
+    host work between device supersteps; purity of the jitted programs is
+    untouched.
+    """
+
+    def __init__(
+        self,
+        episodes: Sequence[Episode],
+        num_envs: int,
+        episodes_per_env: int,
+        shuffle: bool = True,
+        group_by_scene: bool = True,
+        max_scene_repeat_episodes: int = -1,
+        seed: int = 0,
+    ):
+        self.per = episodes_per_env
+        self.num_envs = num_envs
+        eps = list(episodes)
+
+        class _Ref:
+            __slots__ = ("scene_id", "idx")
+
+            def __init__(self, scene_id, idx):
+                self.scene_id = scene_id
+                self.idx = idx
+
+        self._iters = []
+        for b, idxs in enumerate(_deal_to_slots(eps, num_envs)):
+            refs = [_Ref(eps[i].scene_id, i) for i in idxs]
+            self._iters.append(
+                EpisodeIterator(
+                    refs,
+                    cycle=True,
+                    shuffle=shuffle,
+                    group_by_scene=group_by_scene,
+                    max_scene_repeat_episodes=max_scene_repeat_episodes,
+                    seed=seed + b,
+                )
+            )
+        # pending[b][k] = k-th upcoming episode (pending[0] = current)
+        self._pending: List[List[int]] = [
+            [next(it).idx for _ in range(self.per)] for it in self._iters
+        ]
+        self._last_cursors = np.zeros((num_envs,), np.int64)
+
+    def initial_order(self) -> np.ndarray:
+        """(B, per) order for env.reset (cursor starts at 0)."""
+        return np.asarray(self._pending, np.int32)
+
+    def refresh(self, cursors: np.ndarray) -> np.ndarray:
+        """(B, per) refreshed order given the slots' current cursors."""
+        cursors = np.asarray(cursors, np.int64)
+        order = np.zeros((self.num_envs, self.per), np.int32)
+        for b in range(self.num_envs):
+            consumed = int(cursors[b] - self._last_cursors[b])
+            pend = self._pending[b]
+            del pend[: min(consumed, len(pend))]
+            it = self._iters[b]
+            while len(pend) < self.per:
+                pend.append(next(it).idx)
+            for k in range(self.per):
+                order[b, (cursors[b] + k) % self.per] = pend[k]
+        self._last_cursors = cursors.copy()
+        return order
+
+
 def pack_episodes(episodes: Sequence[Episode], num_envs: int, episodes_per_env: Optional[int] = None) -> Dict[str, np.ndarray]:
     """Pack an episode stream into dense arrays + a per-env consumption order.
 
@@ -217,17 +310,7 @@ def pack_episodes(episodes: Sequence[Episode], num_envs: int, episodes_per_env: 
         out["dialog_node"][i] = ep.dialog_node
 
     # scene-grouped round-robin deal to env slots
-    by_scene: Dict[int, List[int]] = {}
-    for i, ep in enumerate(eps):
-        by_scene.setdefault(ep.scene_id, []).append(i)
-    env_lists: List[List[int]] = [[] for _ in range(num_envs)]
-    scenes = sorted(by_scene)
-    for k, s in enumerate(scenes):
-        env_lists[k % num_envs].extend(by_scene[s])
-    # ensure every env slot has at least one episode
-    for b in range(num_envs):
-        if not env_lists[b]:
-            env_lists[b] = list(range(e))
+    env_lists = _deal_to_slots(eps, num_envs)
     per = episodes_per_env or max(len(lst) for lst in env_lists)
     order = np.zeros((num_envs, per), np.int32)
     for b in range(num_envs):

@@ -208,6 +208,29 @@ def pack_rir_tree(
     return idx_path
 
 
+def pack_dense_rirs(rirs: np.ndarray, out_prefix: str, sampling_rate: int) -> str:
+    """Write an in-memory (S, 4, N, N, L, 2) RIR tensor in the HostRIRStore
+    on-disk format (same layout as `pack_rir_tree`). Used by benchmarks and
+    tests to exercise the io_callback audio path without a wav tree."""
+    rirs = np.asarray(rirs, np.float32)
+    s, a, n, _, length, _ = rirs.shape
+    offsets = np.zeros((s, a, n, n), np.int64)
+    lengths = np.full((s, a, n, n), length, np.int32)
+    flat = rirs.reshape(-1, length, 2)
+    offsets.reshape(-1)[:] = np.arange(flat.shape[0], dtype=np.int64) * length
+    with open(out_prefix + ".bin", "wb") as f:
+        f.write(np.ascontiguousarray(flat).tobytes())
+    idx_path = out_prefix + ".npz"
+    np.savez(
+        idx_path,
+        offsets=offsets,
+        lengths=lengths,
+        pad_length=np.int64(length),
+        sampling_rate=np.int64(sampling_rate),
+    )
+    return idx_path
+
+
 class HostRIRStore:
     """Memory-mapped RIR bank gathered into jitted programs via io_callback.
 
@@ -572,6 +595,9 @@ def build_reference_scene_bank(cfg: ReferenceDataConfig):
         grid_size=cfg.grid_size,
         scene_index={s: i for i, s in enumerate(scenes)},
     )
+    # host-side name table (heard/unheard sound splits resolve names → ids);
+    # NOT part of the SceneBank pytree — builder-time use only
+    bank.sound_names = sound_names
     return bank, tables_list, episodes
 
 

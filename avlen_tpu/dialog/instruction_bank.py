@@ -48,16 +48,34 @@ def build_instruction_bank(
     tables_list: Sequence[SceneTables],
     categories: Optional[np.ndarray] = None,
     context_length: int = CONTEXT_LENGTH,
+    speaker_batch: int = 512,
 ) -> np.ndarray:
     """(S, N_max, 4, N_max, 77) int32 CLIP-token bank.
 
     ``rot`` indexes rotation_angle//90; heading passed to the speaker is the
     agent orientation in degrees ((270 - rot*90) % 360, simulator.py:595-597).
+    Speaker calls are batched (``speaker_batch`` items at a time) so the
+    neural backend runs its jitted rollout over large batches rather than
+    item-by-item.
     """
     s = len(tables_list)
     n_max = max(t.num_nodes for t in tables_list)
     bank = np.zeros((s, n_max, 4, n_max, context_length), np.int32)
     stop_tokens = tokenize(["stop here"])[0]
+
+    items: List[dict] = []
+    slots: List[tuple] = []
+
+    def flush():
+        if not items:
+            return
+        texts = speaker.instruction_text(items)
+        toks = tokenize(texts, context_length=context_length)
+        for (si, node, rot, goal), tk in zip(slots, toks):
+            bank[si, node, rot, goal] = tk
+        items.clear()
+        slots.clear()
+
     for si, t in enumerate(tables_list):
         n = t.num_nodes
         for goal in range(n):
@@ -68,10 +86,11 @@ def build_instruction_bank(
                         bank[si, node, rot, goal] = stop_tokens
                         continue
                     heading = (270 - rot * 90) % 360
-                    text = speaker.instruction_text(
-                        [{"heading": heading, "scene": si, "path": path}]
-                    )[0]
-                    bank[si, node, rot, goal] = tokenize([text])[0]
+                    items.append({"heading": heading, "scene": si, "path": path})
+                    slots.append((si, node, rot, goal))
+                    if len(items) >= speaker_batch:
+                        flush()
+    flush()
     return bank
 
 

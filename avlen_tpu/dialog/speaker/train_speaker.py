@@ -123,7 +123,18 @@ def train_speaker(
             logger.info(f"speaker {i}: loss {float(loss):.3f} acc {float(acc):.3f}")
     logger.info(f"speaker done in {time.time() - t0:.1f}s: acc {float(acc):.3f}")
     if checkpoint_dir:
-        save_checkpoint(checkpoint_dir, "speaker.pth", {"state_dict": params, "vocab": vocab.idx2word})
+        save_checkpoint(
+            checkpoint_dir,
+            "speaker.pth",
+            {
+                "state_dict": params,
+                "vocab": vocab.idx2word,
+                # model geometry, so loaders can rebuild the exact net
+                # (and fail loudly on a pano-feature on/off mismatch)
+                "hidden_size": hidden_size,
+                "world_feat_dim": int(feats.shape[-1]),
+            },
+        )
     return params, vocab, float(acc)
 
 

@@ -37,6 +37,15 @@ class Vocabulary:
         self.word2idx: Dict[str, int] = {w: i for i, w in enumerate(self.idx2word)}
 
     @classmethod
+    def from_words(cls, words: Sequence[str]) -> "Vocabulary":
+        """Rebuild a vocabulary from a saved idx2word list (speaker ckpts
+        store the exact list so decode indices stay stable across loads)."""
+        v = cls.__new__(cls)
+        v.idx2word = list(words)
+        v.word2idx = {w: i for i, w in enumerate(v.idx2word)}
+        return v
+
+    @classmethod
     def from_file(cls, path: str) -> "Vocabulary":
         """Load an R2R-style vocab file (one word per line — the reference's
         tasks/R2R/data/train_vocab.txt consumed by read_vocab/Tokenizer,

@@ -180,15 +180,29 @@ class SimpleTokenizer:
         return raw.decode("utf-8", errors="replace").replace("</w>", " ").strip()
 
     def tokenize(
-        self, texts: Union[str, Sequence[str]], context_length: int = CONTEXT_LENGTH
+        self,
+        texts: Union[str, Sequence[str]],
+        context_length: int = CONTEXT_LENGTH,
+        truncate: bool = True,
     ) -> np.ndarray:
-        """(B, context_length) int32, SOT + ids + EOT, truncated like
-        clip.tokenize(truncate=True) — EOT always survives truncation."""
+        """(B, context_length) int32, SOT + ids + EOT.
+
+        Defaults to truncation (clip.tokenize(truncate=True); EOT always
+        survives). NOTE: the reference calls clip.tokenize(dialog) with the
+        default truncate=False, which *raises* on >77-token dialogs — pass
+        ``truncate=False`` for that strict-parity behavior; the truncating
+        default is a deliberate robustness improvement for generated
+        instructions of unbounded length."""
         if isinstance(texts, str):
             texts = [texts]
         out = np.zeros((len(texts), context_length), np.int32)
         for i, text in enumerate(texts):
-            ids = [self.sot_token] + self.encode(text)[: context_length - 2] + [self.eot_token]
+            ids = self.encode(text)
+            if not truncate and len(ids) > context_length - 2:
+                raise RuntimeError(
+                    f"Input {text!r} is too long for context length {context_length}"
+                )
+            ids = [self.sot_token] + ids[: context_length - 2] + [self.eot_token]
             out[i, : len(ids)] = ids
         return out
 

@@ -250,7 +250,8 @@ int32_t ge_hops(void* h, int32_t scene, int32_t a, int32_t b) {
   return s.hops[static_cast<size_t>(a) * s.num_nodes + b];
 }
 
-// Shortest path a→b into out (max_len); returns the path length or -1.
+// Shortest path a→b into out (max_len); returns the path length, -1 if b is
+// unreachable, or -(len+1) if max_len was exhausted before reaching b.
 int32_t ge_shortest_path(void* h, int32_t scene, int32_t a, int32_t b,
                          int32_t* out, int32_t max_len) {
   const Scene& s = static_cast<Engine*>(h)->scenes[scene];
@@ -262,7 +263,10 @@ int32_t ge_shortest_path(void* h, int32_t scene, int32_t a, int32_t b,
     cur = s.oracle_next[static_cast<size_t>(cur) * s.num_nodes + b];
     if (cur < 0) return -1;
   }
-  return len;
+  // max_len exhausted before reaching b: signal truncation with -(len+1) so
+  // callers can distinguish it from an unreachable goal (-1) and from a
+  // complete path (positive length).
+  return -(len + 1);
 }
 
 // Oracle action sequence from (node, rot) toward goal, incl. turns + STOP
@@ -435,7 +439,10 @@ int32_t ge_vp_shortest_path(void* h, int32_t scene, int32_t a, int32_t b,
     cur = s.oracle_next[static_cast<size_t>(cur) * s.num_nodes + b];
     if (cur < 0) return -1;
   }
-  return len;
+  // max_len exhausted before reaching b: signal truncation with -(len+1) so
+  // callers can distinguish it from an unreachable goal (-1) and from a
+  // complete path (positive length).
+  return -(len + 1);
 }
 
 }  // extern "C"

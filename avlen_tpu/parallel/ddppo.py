@@ -35,6 +35,33 @@ def _bound(binder, consts):
     return binder.bind(consts) if binder is not None else contextlib.nullcontext()
 
 
+def _dedupe_buffers(tree):
+    """Copy repeated array objects so a donated pytree holds each buffer at
+    most once (XLA rejects donating the same buffer twice; freshly-built
+    carries sometimes share a zeros array across leaves). After the first
+    superstep the outputs are distinct buffers, so this is a no-op."""
+    seen = set()
+
+    def f(x):
+        if isinstance(x, jax.Array):
+            if id(x) in seen:
+                return jnp.copy(x)
+            seen.add(id(x))
+        return x
+
+    return jax.tree.map(f, tree)
+
+
+def _donating(step_fn):
+    """Wrap a carry-donating jitted superstep with input dedupe."""
+
+    def wrapped(train_state, carry, key, consts=None):
+        return step_fn(train_state, _dedupe_buffers(carry), key, consts)
+
+    wrapped._jitted = step_fn  # AOT lower/compile access (bench.py)
+    return wrapped
+
+
 def _leaf_spec(shape: Tuple[int, ...], num_envs: int, num_steps: Optional[int], axis: str):
     if (
         num_steps is not None
@@ -73,6 +100,7 @@ def make_sharded_superstep(
     num_steps: int,
     axis: str = "data",
     binder=None,  # utils/hoist.ConstBinder holding the asset banks
+    donate: bool = False,  # donate the carry buffers (TPU.DONATE_ROLLOUTS)
 ):
     """Compile (rollout → update) into one SPMD program over ``mesh``.
 
@@ -110,6 +138,11 @@ def make_sharded_superstep(
         stats = jax.tree.map(lambda v: jax.lax.pmean(v, axis), stats)
         return train_state, carry, batch, stats
 
+    # the carry is pure rollout state (env state, obs, memories, RNG) and a
+    # fresh one is returned every step, so its buffers can be donated —
+    # in-place reuse instead of a copy per superstep (TPU.DONATE_ROLLOUTS)
+    donate_kw = {"donate_argnums": (1,)} if donate else {}
+
     if binder is None:
         step = jax.shard_map(
             body, mesh=mesh,
@@ -117,7 +150,15 @@ def make_sharded_superstep(
             out_specs=(P(), carry_spec, batch_spec, P()),
             check_vma=False,
         )
-        return jax.jit(step), carry_spec
+        jitted = jax.jit(step, **donate_kw)
+        if donate:
+            orig = jitted
+
+            def jitted(train_state, carry, key):  # noqa: F811
+                return orig(train_state, _dedupe_buffers(carry), key)
+
+            jitted._jitted = orig
+        return jitted, carry_spec
 
     consts_spec = jax.tree.map(lambda _: P(), binder.arrays)
 
@@ -131,10 +172,11 @@ def make_sharded_superstep(
         out_specs=(P(), carry_spec, batch_spec, P()),
         check_vma=False,
     )
-    return jax.jit(step), carry_spec
+    jitted = jax.jit(step, **donate_kw)
+    return (_donating(jitted) if donate else jitted), carry_spec
 
 
-def make_local_superstep(collect: Callable, update: Callable, binder=None):
+def make_local_superstep(collect: Callable, update: Callable, binder=None, donate: bool = False):
     """Single-device analogue of `make_sharded_superstep` with identical
     semantics and signature (identity grad_reduce, same RNG split)."""
 
@@ -146,7 +188,9 @@ def make_local_superstep(collect: Callable, update: Callable, binder=None):
             train_state, stats = update(train_state, batch, update_key, lambda g: g)
             return train_state, carry, batch, stats
 
-    return jax.jit(local_step)
+    donate_kw = {"donate_argnums": (1,)} if donate else {}
+    jitted = jax.jit(local_step, **donate_kw)
+    return _donating(jitted) if donate else jitted
 
 
 def shard_pytree(tree, spec_tree, mesh: Mesh):
@@ -175,6 +219,7 @@ def make_ddppo_step(
     opt_example,
     axis: str = "data",
     binder=None,
+    donate: bool = False,
 ) -> DDPPOStep:
     """The GRU (av-nav style) stack on top of `make_sharded_superstep`."""
 
@@ -207,7 +252,7 @@ def make_ddppo_step(
 
     sharded, _carry_spec = make_sharded_superstep(
         collect, update, (params_example, opt_example), carry_example,
-        mesh, num_steps, axis, binder=binder,
+        mesh, num_steps, axis, binder=binder, donate=donate,
     )
 
     def step_fn(params, opt_state, carry, key, consts=None):

@@ -59,13 +59,15 @@ class QueryTrack(NamedTuple):
 
 
 def init_query_track(batch: int, context_length: int = 77) -> QueryTrack:
-    z = jnp.zeros((batch,), jnp.int32)
+    # distinct buffers per field: sharing one zeros array across leaves makes
+    # donated supersteps fail with "donate the same buffer twice"
+    z = lambda: jnp.zeros((batch,), jnp.int32)
     return QueryTrack(
         queried=jnp.zeros((batch,), bool),
-        dialog_step=z,
-        total_step=z,
-        last_query_step=z,
-        query_count=z,
+        dialog_step=z(),
+        total_step=z(),
+        last_query_step=z(),
+        query_count=z(),
         current_dialog=jnp.zeros((batch, context_length), jnp.int32),
     )
 
@@ -130,12 +132,17 @@ class InteractiveFns:
 def collect_rollout_interactive(
     fns: InteractiveFns,
     carry: InteractiveCarry,
-    instr_bank: jnp.ndarray,  # (S, N, 4, N, 77) int32
+    instr_bank,  # (S, N, 4, N, 77) int32 bank OR callable (env_state, newly) -> (B, 77)
     pe_table: jnp.ndarray,  # (pe_max, qc_emb)
     cfg: InteractiveConfig,
     num_steps: int,
 ):
-    """Returns (carry, traj dict of stacked (T, B, ...) tensors)."""
+    """Returns (carry, traj dict of stacked (T, B, ...) tensors).
+
+    ``instr_bank`` may be a precomputed token bank (small worlds) or a
+    host-callback instruction source (dialog/instruction_source.py) for
+    scenes too large to bank — the reference's on-demand speaker call
+    (ppo_trainer.py:549-562)."""
     from avlen_tpu.sim.env import QueryInfo
 
     init_memories = (carry.mem_goal, carry.mem_option, carry.mem_vln, carry.mem_vln_dialog)
@@ -218,8 +225,13 @@ def collect_rollout_interactive(
         last_query_step = jnp.where(newly, t.total_step, t.last_query_step)
         rl_mask = ((~queried) | newly).astype(jnp.float32)
 
-        # ---- oracle instruction gather (ppo_trainer.py:538-562)
-        tokens = instr_bank[env_state.scene, env_state.node, env_state.rot, env_state.goal_node]
+        # ---- oracle instruction gather (ppo_trainer.py:538-562); banked
+        # worlds gather on device, large worlds call the host speaker for the
+        # envs whose query starts this step (speaker_pipeline.py:110-124)
+        if callable(instr_bank):
+            tokens = instr_bank(env_state, newly)
+        else:
+            tokens = instr_bank[env_state.scene, env_state.node, env_state.rot, env_state.goal_node]
         current_dialog = jnp.where(newly[:, None], tokens, t.current_dialog)
         agent_step = t.dialog_step
 
@@ -350,16 +362,21 @@ def collect_rollout_dialog_pretrain(
     oracle_action: Callable,
     belief_fn: Optional[Callable],
     carry: InteractiveCarry,
-    instr_bank: jnp.ndarray,
+    instr_bank,
     num_dialog_steps: int,
     num_steps: int,
+    sub_instr_bank: Optional[jnp.ndarray] = None,
 ):
     """π_l pretraining rollout (DIALOG_TRAINING flow, ddppo_trainer.py:
     181-298, 881-891 + ppo_trainer.py:354-369): oracle actions drive the
     agent; the instruction for each NUM_DIALOG_STEPS window comes from the
-    (node, rot, goal) instruction bank (standing in for the dialog dataset's
-    sub_instr); π_l's logits are later trained by CE against the oracle
-    actions. masks_vln closes each window so the dialog state memory resets.
+    dataset's per-episode ``sub_instr`` tokens when the episode carries one
+    (``sub_instr_bank`` (E, 77), gathered by episode index — the reference
+    tokenizes episode sub_instr at ppo_trainer.py:354-369), falling back to
+    the oracle (node, rot, goal) instruction bank otherwise; π_l's logits
+    are later trained by CE against the oracle actions. masks_vln closes
+    each window so the dialog state memory resets. ``instr_bank`` may also
+    be a host-callback source (see collect_rollout_interactive).
     """
 
     def step_fn(c: InteractiveCarry, _):
@@ -380,7 +397,15 @@ def collect_rollout_dialog_pretrain(
             obs["location_belief"] = loc_b
 
         env_state = c.env_state
-        tokens = instr_bank[env_state.scene, env_state.node, env_state.rot, env_state.goal_node]
+        if callable(instr_bank):
+            tokens = instr_bank(env_state, window_start)
+        else:
+            tokens = instr_bank[env_state.scene, env_state.node, env_state.rot, env_state.goal_node]
+        if sub_instr_bank is not None:
+            # dataset instruction for this episode (all-zero row = absent)
+            ds_tokens = sub_instr_bank[env_state.ep_i]
+            has_ds = jnp.any(ds_tokens != 0, axis=-1)
+            tokens = jnp.where(has_ds[:, None], ds_tokens, tokens)
         current_dialog = jnp.where(window_start[:, None], tokens, t.current_dialog)
         agent_step = jnp.where(new_ep, 0, t.dialog_step)
 

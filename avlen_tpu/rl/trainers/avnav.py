@@ -75,6 +75,7 @@ class AVNavTrainer(BaseRLTrainer):
                 spectrogram_hw=spec_hw,
                 use_rgb="rgb" in self.env.config.sensors,
                 use_depth="depth" in self.env.config.sensors,
+                dtype=self.compute_dtype(),
             ),
             num_actions=len(cfg.TASK_CONFIG.TASK.POSSIBLE_ACTIONS),
         )
@@ -141,6 +142,7 @@ class AVNavTrainer(BaseRLTrainer):
                 ),
                 optimizer, ppo_cfg, num_steps, self.mesh, self.carry,
                 self.params, self.opt_state, binder=env.binder,
+                donate=self._donate_rollouts(),
             )
             self.carry = shard_carry(self.carry, self.mesh)
 
@@ -202,6 +204,7 @@ class AVNavTrainer(BaseRLTrainer):
                     t2 = time.time()
                     env_time += t1 - t0
                     pth_time += t2 - t1
+                self.carry = self._refresh_episode_stream(self.carry)
 
                 rewards = np.asarray(batch.rewards)
                 dones = np.asarray(batch.dones)
@@ -284,7 +287,11 @@ class AVNavTrainer(BaseRLTrainer):
         count = min(self.config.TEST_EPISODE_COUNT, num_episodes)
         stats: Dict[str, list] = collections.defaultdict(list)
         b = self.env.num_envs
-        state, obs = self.env.reset(order=jnp.asarray(exact_once_deal(num_episodes, b)))
+        # heard/unheard sound split (env.eval_consts docstring)
+        consts = self.env.eval_consts(self.config.SOUND_TYPE)
+        state, obs = self.env.reset(
+            order=jnp.asarray(exact_once_deal(num_episodes, b)), consts=consts
+        )
         carry = CarryState(
             env_state=state, obs=obs,
             hidden=jnp.zeros((b, self.config.RL.PPO.hidden_size), jnp.float32),
@@ -299,7 +306,7 @@ class AVNavTrainer(BaseRLTrainer):
         for _ in range(max_rollouts):
             if len(seen) >= count:
                 break
-            carry, batch = self._collect(self.env.consts, params, carry, deterministic=True)
+            carry, batch = self._collect(consts, params, carry, deterministic=True)
             if first_chunk:
                 self._generate_eval_videos(batch, writer, checkpoint_index)
                 first_chunk = False

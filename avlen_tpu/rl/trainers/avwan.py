@@ -4,6 +4,13 @@ Capability match for av_wan/ppo/ppo_trainer.py ("AVWanTrainer"): PPO over
 waypoint actions in the hierarchical MapNav env, with action-map masking.
 The rollout is a scan over HIGH-LEVEL steps, each of which internally runs
 up to PREDICTION_INTERVAL planned low-level steps (sim/mapnav.py).
+
+First-class like the other stacks (round-3 parity sweep): the
+(rollout → GAE → PPO) superstep runs under shard_map with pmean gradient
+sync on a device mesh (parallel/ddppo.py), eval is exactly-once with
+episode-id accounting + eval videos, training polls preemption and saves
+interrupted state, and the ITERATOR_OPTIONS episode streams refresh between
+supersteps.
 """
 
 from __future__ import annotations
@@ -11,7 +18,7 @@ from __future__ import annotations
 import collections
 import os
 import time
-from typing import Dict
+from typing import Any, Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -23,12 +30,25 @@ from avlen_tpu.rl.gae import compute_gae
 from avlen_tpu.rl.ppo import make_optimizer, ppo_update
 from avlen_tpu.rl.rollout import RolloutBatch
 from avlen_tpu.rl.trainers.avnav import ppo_config_from
-from avlen_tpu.rl.trainers.base import METRIC_BLACKLIST, BaseRLTrainer
+from avlen_tpu.rl.trainers.base import (
+    METRIC_BLACKLIST,
+    BaseRLTrainer,
+    exact_once_deal,
+)
 from avlen_tpu.sim.builder import construct_batched_env
 from avlen_tpu.sim.mapnav import BatchedMapNavEnv, MapNavConfig
 from avlen_tpu.utils.checkpoint import save_checkpoint
 from avlen_tpu.utils.logging import logger
 from avlen_tpu.utils.tb import TensorboardWriter
+
+
+class AVWanCarry(NamedTuple):
+    env_state: Any  # inner EnvState (episode stream lives here)
+    mapper: Any  # MapperState
+    obs: Dict[str, jnp.ndarray]
+    hidden: jnp.ndarray
+    masks: jnp.ndarray
+    key: jax.Array
 
 
 @registry.register_trainer(name="AVWanTrainer")
@@ -45,6 +65,7 @@ class AVWanTrainer(BaseRLTrainer):
         self.env = BatchedMapNavEnv(
             base_env,
             MapNavConfig(
+                internal_map_size=tc.GEOMETRIC_MAP.INTERNAL_MAP_SIZE // 10,
                 action_map_size=tc.ACTION_MAP.MAP_SIZE,
                 gm_size=tc.GEOMETRIC_MAP.MAP_SIZE // 10,
                 am_size=tc.ACOUSTIC_MAP.MAP_SIZE,
@@ -57,10 +78,12 @@ class AVWanTrainer(BaseRLTrainer):
                 hidden_size=cfg.RL.PPO.hidden_size,
                 spectrogram_hw=base_env.spec_config.out_shape[:2],
                 action_map_size=tc.ACTION_MAP.MAP_SIZE,
+                dtype=self.compute_dtype(),
             )
         )
         key = jax.random.key(cfg.SEED)
         state, obs = self.env.reset()
+        env_state, mapper = state
         hidden = jnp.zeros((b, cfg.RL.PPO.hidden_size))
         amask = self.env.action_mask(obs)
         self.params = self.policy.init(
@@ -68,50 +91,57 @@ class AVWanTrainer(BaseRLTrainer):
         )
         self.optimizer = make_optimizer(self.ppo_cfg)
         self.opt_state = self.optimizer.init(self.params)
-        self.state = state
-        self.obs = obs
-        self.hidden = hidden
-        self.masks = jnp.zeros((b,))
-        self.key = key
+        self.carry = AVWanCarry(
+            env_state=env_state, mapper=mapper, obs=obs, hidden=hidden,
+            masks=jnp.zeros((b,)), key=key,
+        )
+        self.mesh = self._make_train_mesh(b)
         self._build_jits()
 
     def _build_jits(self):
         policy, env = self.policy, self.env
         num_steps, ppo_cfg, optimizer = self.num_steps, self.ppo_cfg, self.optimizer
 
-        def collect(params, state, obs, hidden, masks, key, deterministic=False):
-            initial_hidden = hidden
+        def collect(params, carry: AVWanCarry, deterministic=False):
+            initial_hidden = carry.hidden
 
-            def step_fn(carry, _):
-                state, obs, hidden, masks, key = carry
-                key, sub = jax.random.split(key)
-                amask = env.action_mask(obs)
+            def step_fn(c: AVWanCarry, _):
+                key, sub = jax.random.split(c.key)
+                amask = env.action_mask(c.obs)
                 action, logp, value, hidden2, _ = policy.apply(
-                    params, obs, hidden, masks, amask, sub, deterministic, method=AVWanPolicy.act
+                    params, c.obs, c.hidden, c.masks, amask, sub, deterministic,
+                    method=AVWanPolicy.act,
                 )
-                state2, obs2, reward, done, metrics = env._high_step_impl(state, action)
+                state2, obs2, reward, done, metrics = env._high_step_impl(
+                    (c.env_state, c.mapper), action
+                )
+                env_state2, mapper2 = state2
                 store = dict(
-                    obs={**obs, "__amask": amask},
+                    obs={**c.obs, "__amask": amask},
                     actions=action, log_probs=logp, values=value, rewards=reward,
-                    masks=masks, dones=done, metrics=metrics,
+                    masks=c.masks, dones=done, metrics=metrics,
                 )
-                return (state2, obs2, hidden2, 1.0 - done.astype(jnp.float32), key), store
+                c2 = AVWanCarry(
+                    env_state=env_state2, mapper=mapper2, obs=obs2, hidden=hidden2,
+                    masks=1.0 - done.astype(jnp.float32), key=key,
+                )
+                return c2, store
 
-            carry, traj = jax.lax.scan(
-                step_fn, (state, obs, hidden, masks, key), None, length=num_steps
+            carry2, traj = jax.lax.scan(step_fn, carry, None, length=num_steps)
+            amask = env.action_mask(carry2.obs)
+            bootstrap = policy.apply(
+                params, carry2.obs, carry2.hidden, carry2.masks, amask,
+                method=AVWanPolicy.get_value,
             )
-            state, obs, hidden, masks, key = carry
-            amask = env.action_mask(obs)
-            bootstrap = policy.apply(params, obs, hidden, masks, amask, method=AVWanPolicy.get_value)
             batch = RolloutBatch(
                 obs=traj["obs"], actions=traj["actions"], log_probs=traj["log_probs"],
                 values=traj["values"], rewards=traj["rewards"], masks=traj["masks"],
                 dones=traj["dones"], metrics=traj["metrics"],
                 initial_hidden=initial_hidden, bootstrap_value=bootstrap,
             )
-            return (state, obs, hidden, masks, key), batch
+            return carry2, batch
 
-        def update(params, opt_state, batch, key):
+        def update(params, opt_state, batch, key, grad_reduce=lambda g: g):
             adv, ret = compute_gae(
                 batch.rewards, batch.values, batch.bootstrap_value,
                 1.0 - batch.dones.astype(jnp.float32), ppo_cfg.gamma, ppo_cfg.tau,
@@ -125,15 +155,44 @@ class AVWanTrainer(BaseRLTrainer):
                 )
 
             return ppo_update(
-                params, opt_state, batch, adv, ret, key, evaluate_actions, optimizer, ppo_cfg
+                params, opt_state, batch, adv, ret, key, evaluate_actions,
+                optimizer, ppo_cfg, grad_reduce=grad_reduce,
             )
 
-        def collect_bound(consts, params, *args, **kw):
+        def collect_bound(consts, params, carry, deterministic=False):
             with env.binder.bind(consts):
-                return collect(params, *args, **kw)
+                return collect(params, carry, deterministic)
 
         self._collect = jax.jit(collect_bound, static_argnames=("deterministic",))
-        self._update = jax.jit(update)
+
+        # (rollout → GAE → PPO) superstep; on a mesh it runs under shard_map
+        # with pmean gradient sync, like every other stack
+        def collect_ts(train_state, carry):
+            params, _ = train_state
+            return collect(params, carry)
+
+        def update_ts(train_state, batch, key, grad_reduce):
+            params, opt_state = train_state
+            params, opt_state, stats = update(params, opt_state, batch, key, grad_reduce)
+            return (params, opt_state), stats
+
+        from avlen_tpu.parallel.ddppo import (
+            make_local_superstep,
+            make_sharded_superstep,
+            shard_pytree,
+        )
+
+        if self.mesh is not None:
+            self._superstep, carry_spec = make_sharded_superstep(
+                collect_ts, update_ts, (self.params, self.opt_state), self.carry,
+                self.mesh, num_steps, binder=env.binder,
+                donate=self._donate_rollouts(),
+            )
+            self.carry = shard_pytree(self.carry, carry_spec, self.mesh)
+        else:
+            self._superstep = make_local_superstep(
+                collect_ts, update_ts, binder=env.binder, donate=self._donate_rollouts()
+            )
 
     # ------------------------------------------------------------------
     def train(self) -> None:
@@ -146,16 +205,35 @@ class AVWanTrainer(BaseRLTrainer):
         key = jax.random.key(cfg.SEED + 1)
         t_start = time.time()
         ckpt_count = 0
-        carry = (self.state, self.obs, self.hidden, self.masks, self.key)
 
+        from avlen_tpu.utils import preemption
+        from avlen_tpu.utils.checkpoint import restore_into
+
+        preemption.register_signal_handlers()
+        resume = self.try_to_resume()
+        if resume is not None:
+            self.params = jax.tree.map(jnp.asarray, resume["state_dict"])
+            if "opt_state" in resume:
+                self.opt_state = restore_into(self.opt_state, resume["opt_state"])
+            self.num_steps_done = int(resume.get("extra_state", {}).get("step", 0))
+            ckpt_count = int(resume.get("_resume_index", 0))
+
+        train_state = (self.params, self.opt_state)
         with TensorboardWriter(cfg.TENSORBOARD_DIR) as writer:
             for update in range(cfg.NUM_UPDATES):
-                carry, batch = self._collect(self.env.consts, self.params, *carry)
+                if preemption.should_exit():
+                    # interrupted-state save + requeue (ddp_utils.py:70-122)
+                    self.params, self.opt_state = train_state
+                    preemption.save_interrupted_state(self._checkpoint_payload())
+                    preemption.requeue_job()
+                    return
                 key, sub = jax.random.split(key)
-                self.params, self.opt_state, stats = self._update(
-                    self.params, self.opt_state, batch, sub
+                train_state, self.carry, batch, stats = self._superstep(
+                    train_state, self.carry, sub, self.env.consts
                 )
+                self.params, self.opt_state = train_state
                 jax.block_until_ready(stats["value_loss"])
+                self.carry = self._refresh_episode_stream(self.carry)
 
                 rewards = np.asarray(batch.rewards)
                 dones = np.asarray(batch.dones)
@@ -183,33 +261,65 @@ class AVWanTrainer(BaseRLTrainer):
                 # every CHECKPOINT_INTERVAL *updates* (ddppo_trainer.py:1191)
                 if (update + 1) % cfg.CHECKPOINT_INTERVAL == 0 or update + 1 == cfg.NUM_UPDATES:
                     save_checkpoint(
-                        cfg.CHECKPOINT_FOLDER, f"ckpt.{ckpt_count}.pth",
-                        {"state_dict": self.params, "opt_state": self.opt_state,
-                         "config": cfg.to_dict(),
-                         "extra_state": {"step": self.num_steps_done}},
+                        cfg.CHECKPOINT_FOLDER, f"ckpt.{ckpt_count}.pth", self._checkpoint_payload()
                     )
                     ckpt_count += 1
 
+    def _checkpoint_payload(self) -> Dict:
+        return {
+            "state_dict": self.params,
+            "opt_state": self.opt_state,
+            "config": self.config.to_dict(),
+            "extra_state": {"step": self.num_steps_done},
+        }
+
+    # ------------------------------------------------------------------
     def _eval_checkpoint(self, checkpoint_path: str, writer, checkpoint_index: int = 0) -> Dict[str, float]:
+        """Exactly-once eval over the split with episode-id accounting (the
+        round-2 pattern every other stack uses) + eval videos."""
+        cfg = self.config
         ckpt = self.load_checkpoint(checkpoint_path)
         self.reconfigure_from_checkpoint(ckpt)
         params = jax.tree.map(jnp.asarray, ckpt["state_dict"])
-        count = self.config.TEST_EPISODE_COUNT
-        stats: Dict[str, list] = collections.defaultdict(list)
-        state, obs = self.env.reset()
+        num_episodes = int(self.env.eps["scene"].shape[0])
+        count = min(cfg.TEST_EPISODE_COUNT, num_episodes)
         b = self.env.num_envs
-        carry = (state, obs, jnp.zeros((b, self.config.RL.PPO.hidden_size)), jnp.zeros((b,)), jax.random.key(7))
-        episodes = 0
-        while episodes < count:
-            carry, batch = self._collect(self.env.consts, params, *carry, deterministic=True)
+        # heard/unheard sound split (env.eval_consts docstring)
+        consts = self.env.eval_consts(cfg.SOUND_TYPE)
+        state, obs = self.env.reset(
+            order=jnp.asarray(exact_once_deal(num_episodes, b)), consts=consts
+        )
+        env_state, mapper = state
+        carry = AVWanCarry(
+            env_state=env_state, mapper=mapper, obs=obs,
+            hidden=jnp.zeros((b, cfg.RL.PPO.hidden_size)),
+            masks=jnp.zeros((b,)), key=jax.random.key(cfg.SEED + 7),
+        )
+        stats: Dict[str, list] = collections.defaultdict(list)
+        seen: set = set()
+        videos_made = 0
+        max_rollouts = 10 + 4 * (-(-num_episodes // b)) * (
+            -(-self.env.env.config.max_episode_steps // max(self.num_steps, 1))
+        )
+        for _ in range(max_rollouts):
+            if len(seen) >= count:
+                break
+            carry, batch = self._collect(consts, params, carry, deterministic=True)
+            if videos_made < 2:
+                videos_made += self.generate_eval_videos(
+                    batch.dones, batch.masks, batch.metrics, writer, checkpoint_index
+                )
             dones = np.asarray(batch.dones)
+            ep_ids = np.asarray(batch.metrics["episode"])
             metrics = {k: np.asarray(v) for k, v in batch.metrics.items() if k not in METRIC_BLACKLIST}
             for t, bi in zip(*np.nonzero(dones)):
-                if episodes >= count:
-                    break
+                eid = int(ep_ids[t, bi])
+                if eid in seen or len(seen) >= count:
+                    continue
+                seen.add(eid)
                 for k in metrics:
                     stats[k].append(metrics[k][t, bi])
-                episodes += 1
+        self._last_eval_episode_ids = sorted(seen)
         means = {k: float(np.mean(v)) for k, v in stats.items()}
         logger.info(f"avwan eval ckpt {checkpoint_index}: " + ", ".join(f"{k}={v:.3f}" for k, v in means.items()))
         for k, v in means.items():

@@ -59,6 +59,42 @@ class BaseRLTrainer:
     def _setup(self, num_envs=None) -> None:  # overridden by trainers
         raise NotImplementedError
 
+    def compute_dtype(self):
+        """TPU.PRECISION → the compute dtype passed into every tower
+        (params stay float32; Flax casts activations/matmuls). bfloat16 is
+        the MXU-native choice for TPU runs; float32 is the default so CPU
+        tests and parity checks are bit-stable."""
+        import jax.numpy as jnp
+
+        name = str(self.config.TPU.PRECISION).lower()
+        table = {
+            "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+            "float32": jnp.float32, "fp32": jnp.float32,
+            "float16": jnp.float16, "fp16": jnp.float16,
+        }
+        if name not in table:
+            raise ValueError(f"unknown TPU.PRECISION {name!r}")
+        return table[name]
+
+    def _donate_rollouts(self) -> bool:
+        """TPU.DONATE_ROLLOUTS → donate the superstep's carry buffers."""
+        return bool(self.config.TPU.DONATE_ROLLOUTS)
+
+    def _refresh_episode_stream(self, carry):
+        """Re-deal each slot's future episode order from its ITERATOR_OPTIONS
+        stream (EpisodeStreamer) between supersteps: shuffle per cycle and
+        forced scene switches on the batched env — the reference's
+        EpisodeIterator semantics (habitat dataset.py:310-356) applied to
+        `EnvState.ep_order` without touching jit purity."""
+        streamer = getattr(self.env, "streamer", None)
+        if streamer is None:
+            return carry
+        import numpy as np
+
+        state = carry.env_state
+        order = streamer.refresh(np.asarray(state.cursor))
+        return carry._replace(env_state=self.env.refresh_ep_order(state, order))
+
     def _make_train_mesh(self, num_envs: int):
         """Device mesh for data-parallel training from TPU.MESH_AXES/SHAPE
         (the TPU replacement for RL.DDPPO.distrib_backend + init_distrib_slurm,

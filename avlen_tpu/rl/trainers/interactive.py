@@ -35,7 +35,10 @@ import numpy as np
 import optax
 
 from avlen_tpu.core.registry import registry
-from avlen_tpu.dialog.instruction_bank import build_instruction_bank_fast
+from avlen_tpu.dialog.instruction_source import (
+    resolve_instruction_source,
+    sub_instr_token_bank,
+)
 from avlen_tpu.models.belief_predictor import (
     BeliefPredictorNet,
     init_belief_state,
@@ -102,12 +105,25 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
         d_model = smt_cfg.hidden_size
         key = jax.random.key(cfg.SEED)
 
-        # instruction bank from the scene graphs (template speaker); banked
-        # on the env binder so it enters jits as an argument, not a literal
-        self.instr_bank = jnp.asarray(build_instruction_bank_fast(self.env.scene_tables))
+        # oracle-instruction source (SPEAKER config): either a precomputed
+        # token bank (small worlds; banked on the env binder so it enters
+        # jits as an argument, not a literal) or a per-query host-speaker
+        # callback for scenes too large to bank (instruction_source.py)
+        bank, self.instr_source = resolve_instruction_source(
+            cfg, self.env.scene_tables,
+            rgb_bank=self.env.bank.rgb if cfg.SPEAKER.USE_PANO_FEATURES else None,
+        )
+        self.instr_bank = jnp.asarray(bank) if bank is not None else None
         self.pe_table = jnp.asarray(sinusoidal_pe(151, cfg.QUERY_COUNT_EMB_SIZE))
-        self.env.binder.add("instr_bank", self.instr_bank)
+        if self.instr_bank is not None:
+            self.env.binder.add("instr_bank", self.instr_bank)
         self.env.binder.add("pe_table", self.pe_table)
+        # per-episode dataset instructions for π_l pretraining (the dialog
+        # datasets' sub_instr, tokenized once — ppo_trainer.py:354-369)
+        sub_bank = sub_instr_token_bank(getattr(self.env, "episodes", []))
+        self.sub_instr_bank = jnp.asarray(sub_bank) if sub_bank is not None else None
+        if self.sub_instr_bank is not None:
+            self.env.binder.add("sub_instr_bank", self.sub_instr_bank)
 
         common = dict(
             spectrogram_hw=spec_hw,
@@ -119,6 +135,7 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
             use_label_belief=bp_cfg.use_label_belief,
             use_location_belief=bp_cfg.use_location_belief,
             pretraining=smt_cfg.pretraining,
+            dtype=self.compute_dtype(),
         )
         self.goal_policy = SMTPolicy(net=AudioNavSMTNet(use_belief_as_goal=True, **common))
         self.dialog_policy = DialogPolicy(
@@ -176,6 +193,7 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
                 predict_label=bp_cfg.use_label_belief,
                 predict_location=bp_cfg.use_location_belief,
                 has_distractor_sound=self.env.config.has_distractor,
+                dtype=self.compute_dtype(),
             )
             self.belief_params = self.belief_net.init(
                 jax.random.fold_in(key, 3), obs["spectrogram"], obs.get("category")
@@ -270,6 +288,13 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
                 belief_fn=belief_fn,
             )
 
+        instr_source = self.instr_source
+
+        def instr_bank_or_source():
+            # banked worlds read the bound token tensor; large worlds use
+            # the host-speaker callback source (no O(N^2) bank exists)
+            return instr_source if instr_source is not None else binder.get("instr_bank")
+
         def collect(pg, pd, po, pb, carry, deterministic=False):
             import dataclasses as _dc
 
@@ -279,7 +304,7 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
                 how_many_query=cfg.HOW_MANY_QUERY, enforced_gap=cfg.ENFORCED_GAP,
             )
             return collect_rollout_interactive(
-                fns, carry, binder.get("instr_bank"), binder.get("pe_table"), c, num_steps
+                fns, carry, instr_bank_or_source(), binder.get("pe_table"), c, num_steps
             )
 
         def update_q(po, opt_state, traj, key, grad_reduce=lambda g: g):
@@ -309,11 +334,14 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
                 replay_only=replay_only, grad_reduce=grad_reduce,
             )
 
+        have_sub_instr = self.sub_instr_bank is not None
+
         def collect_dialog(pd, pb, carry):
             fns = make_fns(self.params_goal, pd, self.params_option, pb)
             return collect_rollout_dialog_pretrain(
                 fns.act_dialog, env._step_impl_noquery, env.oracle_action, fns.belief_fn,
-                carry, binder.get("instr_bank"), cfg.NUM_DIALOG_STEPS, num_steps,
+                carry, instr_bank_or_source(), cfg.NUM_DIALOG_STEPS, num_steps,
+                sub_instr_bank=binder.get("sub_instr_bank") if have_sub_instr else None,
             )
 
         def collect_bound(consts, pg, pd, po, pb, carry, deterministic=False):
@@ -362,24 +390,27 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
         )
 
         dialog_mode = self.policy_type == "dialog" or cfg.DIALOG_TRAINING
+        donate = self._donate_rollouts()
         if self.mesh is not None:
             # eval_shape traces the rollout eagerly, so only build the
             # superstep for the active mode
             if dialog_mode:
                 self._superstep_dialog, carry_spec = make_sharded_superstep(
                     collect_dialog_ts, update_dialog_ts, self._dialog_train_state(),
-                    self.carry, self.mesh, num_steps, binder=binder,
+                    self.carry, self.mesh, num_steps, binder=binder, donate=donate,
                 )
             else:
                 self._superstep, carry_spec = make_sharded_superstep(
                     collect_ts, update_ts, self._train_state(), self.carry,
-                    self.mesh, num_steps, binder=binder,
+                    self.mesh, num_steps, binder=binder, donate=donate,
                 )
             self.carry = shard_pytree(self.carry, carry_spec, self.mesh)
         else:
-            self._superstep = make_local_superstep(collect_ts, update_ts, binder=binder)
+            self._superstep = make_local_superstep(
+                collect_ts, update_ts, binder=binder, donate=donate
+            )
             self._superstep_dialog = make_local_superstep(
-                collect_dialog_ts, update_dialog_ts, binder=binder
+                collect_dialog_ts, update_dialog_ts, binder=binder, donate=donate
             )
 
     def _train_state(self):
@@ -460,6 +491,7 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
                     )
                     self._set_train_state(train_state)
                     jax.block_until_ready(stats["value_loss"])
+                self.carry = self._refresh_episode_stream(self.carry)
 
                 rewards = np.asarray(traj["rewards"])
                 dones = np.asarray(traj["dones"])
@@ -520,6 +552,7 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
                 self.params_dialog, self.opt_state_l, _ = train_state
                 loss = dstats["dialog_loss"]
                 jax.block_until_ready(loss)
+                self.carry = self._refresh_episode_stream(self.carry)
                 self.num_steps_done += int(np.prod(np.asarray(traj["o_action"]).shape))
                 self.num_updates_done += 1
                 if update % cfg.LOG_INTERVAL == 0:
@@ -575,7 +608,11 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
         num_episodes = int(self.env.eps["scene"].shape[0])
         count = min(cfg.TEST_EPISODE_COUNT, num_episodes)
         b = self.env.num_envs
-        state, obs = self.env.reset(order=jnp.asarray(exact_once_deal(num_episodes, b)))
+        # heard/unheard sound split (env.eval_consts docstring)
+        consts = self.env.eval_consts(cfg.SOUND_TYPE)
+        state, obs = self.env.reset(
+            order=jnp.asarray(exact_once_deal(num_episodes, b)), consts=consts
+        )
         if "category_belief" not in obs:
             obs["category_belief"] = jnp.zeros((b, 21), jnp.float32)
             obs["location_belief"] = jnp.zeros((b, 2), jnp.float32)
@@ -607,7 +644,7 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
         for _ in range(max_rollouts):
             if len(seen) >= count:
                 break
-            carry, traj = self._collect(self.env.consts, p_goal, p_vln, p_opt, p_bel, carry, deterministic=True)
+            carry, traj = self._collect(consts, p_goal, p_vln, p_opt, p_bel, carry, deterministic=True)
             if videos_made < 2:
                 # eval videos (ppo_trainer.py:1824-1860 parity): keep trying
                 # chunks until some episode completes inside one

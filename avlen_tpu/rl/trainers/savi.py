@@ -77,6 +77,7 @@ class SaviTrainer(BaseRLTrainer):
                 use_location_belief=bp_cfg.use_location_belief,
                 normalize_category_distribution=bp_cfg.normalize_category_distribution,
                 pretraining=smt_cfg.pretraining,
+                dtype=self.compute_dtype(),
             )
         )
         self.use_belief_predictor = cfg.RL.PPO.use_belief_predictor
@@ -102,7 +103,13 @@ class SaviTrainer(BaseRLTrainer):
             pretrained_path = cfg.RL.DDPPO.pretrained_weights
         elif smt_cfg.use_pretrained and smt_cfg.pretrained_path:
             pretrained_path = smt_cfg.pretrained_path
-        if pretrained_path and os.path.exists(pretrained_path):
+        if pretrained_path and not os.path.exists(pretrained_path):
+            # the reference's torch.load fails loudly on a typo'd path; a
+            # silent skip would invalidate a staged recipe from scratch
+            raise FileNotFoundError(
+                f"configured pretrained weights not found: {pretrained_path}"
+            )
+        if pretrained_path:
             ckpt = self.load_checkpoint(pretrained_path)
             self.params, copied, skipped = merge_matching_params(
                 self.params, ckpt["state_dict"]
@@ -119,11 +126,16 @@ class SaviTrainer(BaseRLTrainer):
                 predict_label=bp_cfg.use_label_belief,
                 predict_location=bp_cfg.use_location_belief,
                 has_distractor_sound=self.env.config.has_distractor,
+                dtype=self.compute_dtype(),
             )
             self.belief_params = self.belief_net.init(
                 jax.random.fold_in(key, 1), obs["spectrogram"], obs.get("category")
             )
-            if bp_cfg.pretrained_path and os.path.exists(bp_cfg.pretrained_path):
+            if bp_cfg.pretrained_path and not os.path.exists(bp_cfg.pretrained_path):
+                raise FileNotFoundError(
+                    f"configured belief predictor weights not found: {bp_cfg.pretrained_path}"
+                )
+            if bp_cfg.pretrained_path:
                 # offline-pretrained belief predictor (reference loads it in
                 # _setup_actor_critic_agent, ppo_trainer.py:150-170)
                 ckpt = self.load_checkpoint(bp_cfg.pretrained_path)
@@ -249,10 +261,13 @@ class SaviTrainer(BaseRLTrainer):
             self._superstep, carry_spec = make_sharded_superstep(
                 collect_ts, update_ts, train_state_ex, self.carry,
                 self.mesh, num_steps, binder=env.binder,
+                donate=self._donate_rollouts(),
             )
             self.carry = shard_pytree(self.carry, carry_spec, self.mesh)
         else:
-            self._superstep = make_local_superstep(collect_ts, update_ts, binder=env.binder)
+            self._superstep = make_local_superstep(
+                collect_ts, update_ts, binder=env.binder, donate=self._donate_rollouts()
+            )
 
     def _train_state(self):
         return (
@@ -317,6 +332,7 @@ class SaviTrainer(BaseRLTrainer):
                     )
                     self._set_train_state(train_state)
                     jax.block_until_ready(stats["value_loss"])
+                self.carry = self._refresh_episode_stream(self.carry)
 
                 with timings.time("host_time"):
                     rewards = np.asarray(batch.rewards)
@@ -370,7 +386,13 @@ class SaviTrainer(BaseRLTrainer):
         obs = batch.obs
         if "pointgoal_with_gps_compass" in obs:
             return obs["pointgoal_with_gps_compass"]
-        return jnp.zeros(batch.actions.shape + (2,), jnp.float32)
+        # training the location head against zeros would silently corrupt the
+        # belief predictor — require the sensor when the head is on
+        raise ValueError(
+            "BELIEF_PREDICTOR.use_location_belief online training requires the "
+            "POINTGOAL_WITH_GPS_COMPASS_SENSOR in TASK.SENSORS (no ground-truth "
+            "goal direction available for the regression target)"
+        )
 
     def _checkpoint_payload(self) -> Dict:
         payload = {
@@ -406,7 +428,11 @@ class SaviTrainer(BaseRLTrainer):
         num_episodes = int(self.env.eps["scene"].shape[0])
         count = min(self.config.TEST_EPISODE_COUNT, num_episodes)
         b = self.env.num_envs
-        state, obs = self.env.reset(order=jnp.asarray(exact_once_deal(num_episodes, b)))
+        # heard/unheard sound split (env.eval_consts docstring)
+        consts = self.env.eval_consts(self.config.SOUND_TYPE)
+        state, obs = self.env.reset(
+            order=jnp.asarray(exact_once_deal(num_episodes, b)), consts=consts
+        )
         stats: Dict[str, list] = collections.defaultdict(list)
         if "category_belief" not in obs:
             obs["category_belief"] = jnp.zeros((b, 21), jnp.float32)
@@ -427,7 +453,7 @@ class SaviTrainer(BaseRLTrainer):
         for _ in range(max_rollouts):
             if len(seen) >= count:
                 break
-            carry, batch = self._collect(self.env.consts, params, belief_params, carry, deterministic=True)
+            carry, batch = self._collect(consts, params, belief_params, carry, deterministic=True)
             if videos_made < 2:
                 videos_made += self.generate_eval_videos(
                     batch.dones, batch.masks, batch.metrics, writer, checkpoint_index

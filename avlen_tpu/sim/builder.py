@@ -13,7 +13,7 @@ from typing import Optional, Tuple
 import numpy as np
 
 from avlen_tpu.config.node import ConfigNode
-from avlen_tpu.core.episodes import EpisodeDataset, pack_episodes
+from avlen_tpu.core.episodes import EpisodeDataset, EpisodeStreamer, pack_episodes
 from avlen_tpu.sim.env import BatchedAudioNavEnv, EnvConfig, RewardConfig
 from avlen_tpu.sim.synthetic import make_episodes, make_scene_bank
 
@@ -91,6 +91,7 @@ def build_world_from_config(
             grid_size=tc.SIMULATOR.GRID_SIZE,
             max_rir_length=audio.MAX_RIR_LENGTH,
             scenes=None if content == ["*"] else content,
+            dense_rir_max_bytes=int(audio.DENSE_RIR_MAX_BYTES),
         )
         return build_reference_scene_bank(ref_cfg)
 
@@ -172,7 +173,52 @@ def construct_batched_env(
     bank, tables, episodes = build_world_from_config(
         config, with_rgb=with_rgb, with_depth=with_depth, seed=seed
     )
+    # heard/unheard sound-split sanitation: no train episode may use a
+    # held-out sound (DATASET.HELD_OUT_SOUNDS; eval remapping lives in
+    # BatchedAudioNavEnv.eval_consts — semantic_audionav_task.py:222-224)
+    sound_split = None
+    held = list(tc.DATASET.HELD_OUT_SOUNDS)
+    if held:
+        names = getattr(bank, "sound_names", None)
+        held_ids = set()
+        for h in held:
+            if isinstance(h, str) and not h.lstrip("-").isdigit():
+                if names is None or h not in names:
+                    raise ValueError(f"HELD_OUT_SOUNDS entry {h!r} not in the sound set")
+                held_ids.add(names.index(h))
+            else:
+                held_ids.add(int(h))
+        num_sounds = int(bank.sounds_padded.shape[0])
+        train_ids = [i for i in range(num_sounds) if i not in held_ids]
+        if not train_ids:
+            raise ValueError("HELD_OUT_SOUNDS holds out every sound; nothing to train on")
+        for ep in episodes:
+            if ep.sound_id in held_ids:
+                ep.sound_id = train_ids[ep.sound_id % len(train_ids)]
+            if ep.distractor_sound_id in held_ids:
+                ep.distractor_sound_id = train_ids[ep.distractor_sound_id % len(train_ids)]
+        sound_split = (train_ids, sorted(held_ids))
+
+    it_opts = tc.ENVIRONMENT.ITERATOR_OPTIONS
+    if 0 < it_opts.NUM_EPISODE_SAMPLE < len(episodes):
+        # habitat Dataset NUM_EPISODE_SAMPLE: train on a random subset
+        rng_s = np.random.RandomState(config.SEED)
+        keep = sorted(rng_s.choice(len(episodes), it_opts.NUM_EPISODE_SAMPLE, replace=False))
+        episodes = [episodes[i] for i in keep]
     packed = pack_episodes(episodes, num_envs=b)
+    # per-slot episode streams honoring ITERATOR_OPTIONS (shuffle per cycle,
+    # forced scene switches — habitat dataset.py:310-356); trainers call
+    # env.streamer.refresh between supersteps (EpisodeStreamer docstring)
+    streamer = None
+    if it_opts.SHUFFLE or it_opts.MAX_SCENE_REPEAT_EPISODES > 0:
+        streamer = EpisodeStreamer(
+            episodes, b, int(packed["order"].shape[1]),
+            shuffle=it_opts.SHUFFLE,
+            group_by_scene=it_opts.GROUP_BY_SCENE,
+            max_scene_repeat_episodes=it_opts.MAX_SCENE_REPEAT_EPISODES,
+            seed=config.SEED,
+        )
+        packed["order"] = streamer.initial_order()
 
     sensors = list(sensors_from_task(tc))
     if with_depth and "depth" not in sensors:
@@ -213,4 +259,7 @@ def construct_batched_env(
 
     env = BatchedAudioNavEnv(bank, packed, env_cfg)
     env.scene_tables = tables  # host-side per-scene tables (speaker/instruction bank)
+    env.episodes = episodes  # host-side episode list (sub_instr bank, iterator refresh)
+    env.streamer = streamer  # per-slot ITERATOR_OPTIONS episode streams
+    env.sound_split = sound_split  # (train_ids, held_out_ids) or None
     return env

@@ -218,10 +218,20 @@ class BatchedAudioNavEnv:
         return jnp.min(h, axis=1).astype(jnp.float32) * self.config.grid_size
 
     # ------------------------------------------------------------------
-    def reset(self, order: Optional[jax.Array] = None) -> Tuple[EnvState, Dict[str, jax.Array]]:
+    def reset(self, order: Optional[jax.Array] = None, consts=None) -> Tuple[EnvState, Dict[str, jax.Array]]:
         """``order`` overrides the per-slot episode streams — (B, P) int32 —
         e.g. an exactly-once eval deal (the fixed-shape analogue of the
-        reference's per-process eval splits, base_trainer.py:185-289)."""
+        reference's per-process eval splits, base_trainer.py:185-289).
+        ``consts`` overrides the bound asset/episode tables (e.g.
+        `eval_consts` sound remapping) so the FIRST episode of each slot
+        also reflects the override, not just auto-reset pulls."""
+        import contextlib
+
+        ctx = self.binder.bind(consts) if consts is not None else contextlib.nullcontext()
+        with ctx:
+            return self._reset_impl(order, consts)
+
+    def _reset_impl(self, order, consts):
         b = self.num_envs
         cursor = jnp.zeros((b,), jnp.int32)
         order = self._weps["order"] if order is None else jnp.asarray(order)
@@ -255,7 +265,43 @@ class BatchedAudioNavEnv:
             new_episode=jnp.ones((b,), bool),
             ep_order=order,
         )
-        return state, self._observe_jit(self.binder.arrays, state)
+        return state, self._observe_jit(consts if consts is not None else self.binder.arrays, state)
+
+    # ------------------------------------------------------------------
+    def eval_consts(self, sound_type: str = ""):
+        """``consts`` with every episode's sound remapped onto the eval
+        sound set: ``heard`` → the train sounds, ``unheard`` → the held-out
+        sounds (the reference's eval-time SOUND_ID switch,
+        soundspaces/tasks/semantic_audionav_task.py:222-224, and the paper's
+        heard/unheard protocol). No-op when no DATASET.HELD_OUT_SOUNDS split
+        is configured. Because the episode tables cross jits as arguments,
+        eval can bind remapped tables with zero recompilation."""
+        split = getattr(self, "sound_split", None)
+        if not split or sound_type not in ("heard", "unheard"):
+            return self.consts
+        train_ids, held_ids = split
+        target = jnp.asarray(train_ids if sound_type == "heard" else held_ids, jnp.int32)
+        consts = dict(self.consts)
+        eps = dict(consts["eps"])
+        eps["sound"] = target[eps["sound"] % target.shape[0]]
+        dist = eps["distractor_sound"]
+        eps["distractor_sound"] = jnp.where(
+            dist >= 0, target[dist % target.shape[0]], dist
+        )
+        consts["eps"] = eps
+        return consts
+
+    # ------------------------------------------------------------------
+    def refresh_ep_order(self, state: EnvState, order) -> EnvState:
+        """Swap in a refreshed per-slot episode stream (EpisodeStreamer):
+        host work between supersteps — ``ep_order`` is only read at episode
+        boundaries, so the in-flight episode is untouched. Preserves the
+        leaf's device sharding so sharded carries stay valid."""
+        new = jnp.asarray(order, jnp.int32)
+        old = state.ep_order
+        if hasattr(old, "sharding"):
+            new = jax.device_put(new, old.sharding)
+        return state._replace(ep_order=new)
 
     # ------------------------------------------------------------------
     def step(self, state: EnvState, actions: jax.Array, query: Optional[QueryInfo] = None):

@@ -65,12 +65,30 @@ class BatchedMapNavEnv:
     def consts(self):
         return self.binder.arrays
 
+    @property
+    def eps(self):
+        return self.env.eps
+
+    @property
+    def scene_tables(self):
+        return self.env.scene_tables
+
+    @property
+    def streamer(self):
+        return getattr(self.env, "streamer", None)
+
+    def eval_consts(self, sound_type: str = ""):
+        return self.env.eval_consts(sound_type)
+
+    def refresh_ep_order(self, state, order):
+        return self.env.refresh_ep_order(state, order)
+
     def _high_step_bound(self, consts, state, waypoint):
         with self.binder.bind(consts):
             return self._high_step_impl(state, waypoint)
 
-    def reset(self):
-        state, obs = self.env.reset()
+    def reset(self, order=None, consts=None):
+        state, obs = self.env.reset(order=order, consts=consts)
         mapper = self.init_mapper()
         obs = self._augment_obs(obs, mapper)
         return (state, mapper), obs
@@ -203,19 +221,36 @@ class BatchedMapNavEnv:
                 mapper,
             )
             mapper2 = self._reset_mapper_where(mapper2, done)
+
+            # held envs produce PHANTOM out.obs/out.metrics (a step computed
+            # from the held state but never applied): obs track the last REAL
+            # step; metrics additionally freeze at the done step so episode
+            # accounting (metrics["episode"] on done) stays correct
+            last_obs, last_metrics = last
+            sel = lambda mask: (
+                lambda new, old: jnp.where(mask.reshape((-1,) + (1,) * (new.ndim - 1)), new, old)
+            )
+            last_obs = jax.tree.map(sel(do_step), out.obs, last_obs)
+            last_metrics = jax.tree.map(sel(do_step & ~done_any), out.metrics, last_metrics)
             return (
                 env_state3,
                 mapper2,
                 arrived | at_goal | stop,
                 acc_reward + reward,
                 done_any | done,
-                (out.obs, out.metrics),
+                (last_obs, last_metrics),
             ), None
 
         b = self.num_envs
-        init_last = (self.env._observe(env_state), {k: jnp.zeros((b,)) for k in (
-            "distance_to_goal", "normalized_distance_to_goal", "success", "spl",
-            "softspl", "na", "sna", "sws", "episode")})
+        # derive the metric pytree structure from a traced step so the scan
+        # carry matches whatever measures/trace keys the env is configured
+        # with (record_pose_info adds agent_node/rot/scene/goal_node); the
+        # probe step's computation is dead code XLA eliminates
+        _, out0 = self.env._step_impl_noquery(env_state, jnp.zeros((b,), jnp.int32))
+        init_last = (
+            self.env._observe(env_state),
+            jax.tree.map(jnp.zeros_like, out0.metrics),
+        )
         carry = (
             env_state, mapper, jnp.zeros((b,), bool), jnp.zeros((b,), jnp.float32),
             jnp.zeros((b,), bool), init_last,

@@ -199,10 +199,18 @@ def precompute_spectrogram_bank(
 # scalars (rates, lengths, seeds) are static; device tensors are children.
 # ---------------------------------------------------------------------------
 def _register_pytrees() -> None:
+    def _dense_unflatten(aux, ch):
+        # Bypass __init__ validation: unflatten must accept arbitrary leaves
+        # (PartitionSpecs, Nones, tracers) so jax.tree.map over a bound
+        # SceneBank — e.g. the sharding-spec map in parallel/ddppo.py — works.
+        bank = object.__new__(DenseRIRBank)
+        bank.rirs = ch[0]
+        return bank
+
     jax.tree_util.register_pytree_node(
         DenseRIRBank,
         lambda b: ((b.rirs,), None),
-        lambda aux, ch: DenseRIRBank(ch[0]),
+        _dense_unflatten,
     )
 
     def _proc_flatten(b: ProceduralRIRBank):

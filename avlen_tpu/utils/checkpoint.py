@@ -20,6 +20,7 @@ with `restore_into` (flax.serialization.from_state_dict).
 from __future__ import annotations
 
 import glob
+import json
 import os
 import re
 from typing import Any, Dict, List, Optional
@@ -41,6 +42,12 @@ def _to_numpy(tree):
 def save_checkpoint(folder: str, name: str, payload: Dict[str, Any]) -> str:
     os.makedirs(folder, exist_ok=True)
     path = os.path.join(folder, name)
+    payload = dict(payload)
+    if "config" in payload and not isinstance(payload["config"], (str, bytes)):
+        # snapshot the config as JSON: flax's to_state_dict turns lists into
+        # {'0': ...} dicts, which corrupts list-valued keys (VIDEO_OPTION,
+        # CONTENT_SCENES, HELD_OUT_SOUNDS) on the eval-time config re-merge
+        payload["config"] = json.dumps(payload["config"])
     state = serialization.to_state_dict(_to_numpy(payload))
     blob = serialization.msgpack_serialize(state)
     tmp = path + ".tmp"
@@ -52,7 +59,11 @@ def save_checkpoint(folder: str, name: str, payload: Dict[str, Any]) -> str:
 
 def load_checkpoint(path: str) -> Dict[str, Any]:
     with open(path, "rb") as f:
-        return serialization.msgpack_restore(f.read())
+        state = serialization.msgpack_restore(f.read())
+    cfg = state.get("config") if isinstance(state, dict) else None
+    if isinstance(cfg, (str, bytes)):
+        state["config"] = json.loads(cfg if isinstance(cfg, str) else cfg.decode())
+    return state
 
 
 def restore_into(target, state_dict):
@@ -85,6 +96,11 @@ def merge_matching_params(target, source):
         ss = getattr(s, "shape", None)
         if ts == ss:
             copied.append("/".join(path))
+            if hasattr(s, "shape") and hasattr(t, "dtype"):
+                # preserve the target's compute dtype: loading an f32 ckpt
+                # into a bf16 tree (or vice versa) must not silently swap
+                # leaf dtypes and force downstream retraces
+                return jax.numpy.asarray(s, dtype=t.dtype)
             return jax.numpy.asarray(s) if hasattr(s, "shape") else s
         skipped.append("/".join(path))
         return t

@@ -21,6 +21,7 @@ from avlen_tpu.parallel.ddppo import (
     shard_pytree,
 )
 from avlen_tpu.parallel.mesh import make_mesh
+from tests.isolation import isolated
 
 pytestmark = pytest.mark.skipif(
     len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
@@ -31,7 +32,8 @@ pytestmark = pytest.mark.skipif(
 def _clear_caches_each_test():
     """Mesh trainer tests each compile multi-device shard_map programs; on
     this 1-core host the CPU client aborts if several accumulate in-process,
-    so drop executables after every test in this module."""
+    so drop executables after every test in this module. The heavy trainer
+    tests additionally run fork-per-test (tests/isolation.py)."""
     yield
     import gc
 
@@ -121,6 +123,7 @@ def _make_savi_trainer(tmp_path, **overrides):
     return registry.get_trainer("savi")(cfg)
 
 
+@isolated(__file__)
 def test_savi_trainer_uses_mesh_and_trains(tmp_path):
     trainer = _make_savi_trainer(tmp_path)
     trainer.ensure_setup()
@@ -137,6 +140,7 @@ def test_savi_trainer_uses_mesh_and_trains(tmp_path):
         assert np.isfinite(np.asarray(leaf)).all()
 
 
+@isolated(__file__)
 def test_superstep_sharded_matches_local_single_minibatch(tmp_path):
     """With one minibatch and one epoch the minibatch permutation is the
     identity set, per-shard GAE is per-env, and pmean'd grads equal the
@@ -220,6 +224,7 @@ def test_superstep_sharded_matches_local_single_minibatch(tmp_path):
 
 
 # ---------------------------------------------------------------------------
+@isolated(__file__)
 def test_run_cli_trains_interactive_on_mesh(tmp_path):
     """`python -m avlen_tpu.run --run-type train` end-to-end with the full
     AVLEN interactive stack on the 8-device mesh."""
@@ -263,6 +268,41 @@ def test_infer_env_specs_rules():
 
 
 # ---------------------------------------------------------------------------
+@isolated(__file__)
+def test_avwan_trainer_uses_mesh_and_trains(tmp_path):
+    """The waypoint (AV-WAN) stack trains data-parallel through the same
+    sharded superstep as every other stack (round-3 parity sweep)."""
+    import avlen_tpu.rl.trainers  # noqa: F401
+    from avlen_tpu.config import get_config
+    from avlen_tpu.core.registry import registry
+
+    cfg = get_config(
+        opts=tiny_opts(**{
+            "TRAINER_NAME": "AVWanTrainer",
+            "PREDICTION_INTERVAL": "3",
+            "RL.PPO.num_steps": "3",
+            "TASK_CONFIG.TASK.GEOMETRIC_MAP.INTERNAL_MAP_SIZE": "300",
+            "TASK_CONFIG.TASK.ACTION_MAP.MAP_SIZE": "5",
+            "TASK_CONFIG.TASK.GEOMETRIC_MAP.MAP_SIZE": "90",
+            "TASK_CONFIG.TASK.ACOUSTIC_MAP.MAP_SIZE": "9",
+        }),
+        model_dir=str(tmp_path),
+    )
+    trainer = registry.get_trainer("AVWanTrainer")(cfg)
+    trainer.ensure_setup()
+    assert trainer.mesh is not None and trainer.mesh.devices.size == 8
+    p0 = jax.tree.map(np.asarray, trainer.params)
+    trainer.train()
+    assert trainer.num_updates_done == 2
+    moved = jax.tree.leaves(
+        jax.tree.map(lambda a, b: float(np.abs(np.asarray(b) - a).max()), p0, trainer.params)
+    )
+    assert max(moved) > 0.0
+    for leaf in jax.tree.leaves(trainer.params):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+@isolated(__file__)
 def test_avnav_trainer_uses_mesh_and_trains(tmp_path):
     """The GRU (AV-Nav) stack trains data-parallel through make_ddppo_step
     when TPU.MESH_SHAPE spans the virtual mesh."""

@@ -1,0 +1,313 @@
+"""The trained language stack in the actual training loop (VERDICT r2 #2).
+
+The reference invokes its *pretrained speaker model* on every query
+(ss_baselines/savi/ppo/ppo_trainer.py:549-562) and tokenizes dataset
+`sub_instr` for dialog pretraining (ppo_trainer.py:354-369). These tests
+prove the TPU counterparts: a neural-speaker instruction bank, the per-query
+host-speaker io_callback path for scenes too large to bank (no O(N^2) bank
+materialized), and dialog pretraining consuming dataset sub_instr tokens.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tests.isolation import isolated
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def _tables(side=4, scenes=1, seed=0):
+    from avlen_tpu.sim.graph import build_scene_tables
+    from avlen_tpu.sim.synthetic import make_grid_scene
+
+    rng = np.random.RandomState(seed)
+    return [build_scene_tables(make_grid_scene(rng, side=side)) for _ in range(scenes)]
+
+
+class _FakeState:
+    def __init__(self, scene, node, rot, goal_node):
+        self.scene = scene
+        self.node = node
+        self.rot = rot
+        self.goal_node = goal_node
+
+
+# ---------------------------------------------------------------------------
+def test_neural_speaker_checkpoint_roundtrip_and_bank(tmp_path):
+    """train_speaker → SPEAKER.CKPT_PATH → speaker_from_config → bank."""
+    from avlen_tpu.config import get_config
+    from avlen_tpu.dialog.instruction_bank import build_instruction_bank
+    from avlen_tpu.dialog.instruction_source import speaker_from_config
+
+    tables = _tables(side=3)
+    from avlen_tpu.dialog.speaker.train_speaker import train_speaker
+
+    train_speaker(tables, num_steps=5, batch=16, hidden_size=32, checkpoint_dir=str(tmp_path))
+    ckpt_path = os.path.join(str(tmp_path), "speaker.pth")
+    assert os.path.exists(ckpt_path)
+
+    cfg = get_config(opts=["SPEAKER.BACKEND", "neural", "SPEAKER.CKPT_PATH", ckpt_path])
+    speaker = speaker_from_config(cfg, tables)
+    assert speaker.backend == "neural" and speaker.neural_params is not None
+    words = speaker.generate_instr(
+        [{"heading": 270, "scene": 0, "path": [0, 1, 2]}]
+    )[0]["words"]
+    assert isinstance(words, list)
+
+    bank = build_instruction_bank(speaker, tables)
+    n = tables[0].num_nodes
+    assert bank.shape == (1, n, 4, n, 77)
+    # SOT token everywhere: every slot is a real tokenization
+    assert (bank[0, :, :, :, 0] > 0).all()
+
+
+def test_neural_speaker_ckpt_feat_dim_mismatch_raises(tmp_path):
+    from avlen_tpu.config import get_config
+    from avlen_tpu.dialog.instruction_source import speaker_from_config
+    from avlen_tpu.dialog.speaker.train_speaker import train_speaker
+
+    tables = _tables(side=3)
+    train_speaker(tables, num_steps=2, batch=8, hidden_size=32, checkpoint_dir=str(tmp_path))
+    ckpt_path = os.path.join(str(tmp_path), "speaker.pth")
+    cfg = get_config(opts=[
+        "SPEAKER.BACKEND", "neural", "SPEAKER.CKPT_PATH", ckpt_path,
+        "SPEAKER.USE_PANO_FEATURES", "True",
+    ])
+    rgb = np.zeros((1, tables[0].num_nodes, 4, 8, 8, 3), np.uint8)
+    with pytest.raises(ValueError, match="world_feat_dim"):
+        speaker_from_config(cfg, tables, rgb_bank=rgb)
+
+
+# ---------------------------------------------------------------------------
+def test_callback_source_matches_bank_inside_scan():
+    """The io_callback source must produce exactly the tokens the dense bank
+    holds, for the `newly` rows, and zeros elsewhere — inside a lax.scan."""
+    from avlen_tpu.dialog.instruction_bank import build_instruction_bank_fast
+    from avlen_tpu.dialog.instruction_source import HostSpeakerInstructionSource
+    from avlen_tpu.dialog.speaker.speaker import Speaker
+
+    tables = _tables(side=3)
+    n = tables[0].num_nodes
+    bank = build_instruction_bank_fast(tables)
+    speaker = Speaker([t.positions for t in tables], backend="template")
+    source = HostSpeakerInstructionSource(speaker, tables)
+
+    rng = np.random.RandomState(3)
+    t_steps, b = 4, 5
+    nodes = rng.randint(0, n, size=(t_steps, b)).astype(np.int32)
+    rots = rng.randint(0, 4, size=(t_steps, b)).astype(np.int32)
+    goals = rng.randint(0, n, size=(t_steps, b)).astype(np.int32)
+    newly = rng.rand(t_steps, b) < 0.5
+    scenes = np.zeros((t_steps, b), np.int32)
+
+    @jax.jit
+    def run(nodes, rots, goals, newly, scenes):
+        def step(c, x):
+            nd, rt, gl, nw, sc = x
+            st = _FakeState(sc, nd, rt, gl)
+            return c, source(st, nw)
+
+        _, toks = jax.lax.scan(step, 0, (nodes, rots, goals, newly, scenes))
+        return toks
+
+    toks = np.asarray(run(nodes, rots, goals, jnp.asarray(newly), scenes))
+    for t in range(t_steps):
+        for i in range(b):
+            if newly[t, i]:
+                np.testing.assert_array_equal(
+                    toks[t, i], bank[0, nodes[t, i], rots[t, i], goals[t, i]]
+                )
+            else:
+                assert (toks[t, i] == 0).all()
+    assert source.host_calls > 0
+
+
+def test_callback_source_under_shard_map():
+    """io_callback + mesh: each shard's host call returns its shard's tokens."""
+    from avlen_tpu.dialog.instruction_bank import build_instruction_bank_fast
+    from avlen_tpu.dialog.instruction_source import HostSpeakerInstructionSource
+    from avlen_tpu.dialog.speaker.speaker import Speaker
+    from avlen_tpu.parallel.mesh import make_mesh
+
+    tables = _tables(side=3)
+    n = tables[0].num_nodes
+    bank = build_instruction_bank_fast(tables)
+    speaker = Speaker([t.positions for t in tables], backend="template")
+    source = HostSpeakerInstructionSource(speaker, tables)
+    mesh = make_mesh(("data",), (4,), jax.devices()[:4])
+
+    rng = np.random.RandomState(11)
+    b = 8
+    nodes = rng.randint(0, n, size=(b,)).astype(np.int32)
+    rots = rng.randint(0, 4, size=(b,)).astype(np.int32)
+    goals = rng.randint(0, n, size=(b,)).astype(np.int32)
+    newly = np.ones((b,), bool)
+    scenes = np.zeros((b,), np.int32)
+
+    def fn(nd, rt, gl, nw, sc):
+        return source(_FakeState(sc, nd, rt, gl), nw)
+
+    sharded = jax.jit(
+        jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(P("data"),) * 5, out_specs=P("data"),
+            check_vma=False,
+        )
+    )
+    toks = np.asarray(sharded(nodes, rots, goals, newly, scenes))
+    for i in range(b):
+        np.testing.assert_array_equal(toks[i], bank[0, nodes[i], rots[i], goals[i]])
+
+
+# ---------------------------------------------------------------------------
+def _interactive_opts(**overrides):
+    base = {
+        "TRAINER_NAME": "ddppo",
+        "RL.PPO.policy_type": "interactive",
+        "TASK_CONFIG.DATASET.SYNTHETIC.RIR_LENGTH": "200",
+        "TASK_CONFIG.DATASET.SYNTHETIC.FRAME_RES": "16",
+        "TASK_CONFIG.SIMULATOR.AUDIO.RIR_SAMPLING_RATE": "2000",
+        "TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS": "10",
+        "LOG_INTERVAL": "1",
+        "NUM_UPDATES": "1",
+        "RL.PPO.num_steps": "3",
+        "RL.PPO.num_mini_batch": "1",
+        "RL.PPO.ppo_epoch": "1",
+        "RL.PPO.SCENE_MEMORY_TRANSFORMER.hidden_size": "32",
+        "RL.PPO.SCENE_MEMORY_TRANSFORMER.memory_size": "2",
+        "RL.PPO.SCENE_MEMORY_TRANSFORMER.nhead": "2",
+        "RL.PPO.CLIP_WIDTH": "32",
+        "RL.PPO.CLIP_LAYERS": "1",
+        "NUM_DIALOG_STEPS": "2",
+        "CHECKPOINT_INTERVAL": "1000000",
+    }
+    base.update({k: str(v) for k, v in overrides.items()})
+    opts = []
+    for k, v in base.items():
+        opts += [k, v]
+    return opts
+
+
+@isolated(__file__)
+def test_interactive_large_scene_trains_via_callback_no_bank(tmp_path):
+    """A 225-node world (> MAX_BANK_NODES) must train on the 8-device mesh
+    with NO instruction bank materialized — every oracle instruction comes
+    through the per-query host speaker io_callback, inside the scan, under
+    shard_map (the scale-safe path for real Matterport scenes)."""
+    import avlen_tpu.rl.trainers  # noqa: F401
+    from avlen_tpu.config import get_config
+    from avlen_tpu.core.registry import registry
+
+    cfg = get_config(
+        opts=_interactive_opts(**{
+            "TASK_CONFIG.DATASET.SYNTHETIC.SIDE": "16",  # 200+ node graph
+            "NUM_PROCESSES": "8",
+            "SPEAKER.BANK_MODE": "auto",
+            "SPEAKER.MAX_BANK_NODES": "64",
+        }),
+        model_dir=str(tmp_path),
+    )
+    trainer = registry.get_trainer("ddppo")(cfg)
+    trainer.ensure_setup()
+    assert max(t.num_nodes for t in trainer.env.scene_tables) > 200
+    assert trainer.instr_bank is None, "O(N^2) bank must not be materialized"
+    assert trainer.instr_source is not None
+    assert trainer.mesh is not None and trainer.mesh.devices.size == 8
+    trainer.train()
+    assert trainer.num_updates_done == 1
+    # the host speaker actually served queries
+    assert trainer.instr_source.host_calls > 0
+    for leaf in jax.tree.leaves(trainer.params_option):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+@isolated(__file__)
+def test_interactive_trains_with_neural_speaker_bank(tmp_path):
+    """SPEAKER.BACKEND=neural: the instruction bank the interactive trainer
+    trains on is produced by the trained Flax seq2seq speaker, not the
+    template channel (reference: pretrained speaker at ppo_trainer.py:549)."""
+    import avlen_tpu.rl.trainers  # noqa: F401
+    from avlen_tpu.config import get_config
+    from avlen_tpu.core.registry import registry
+    from avlen_tpu.dialog.instruction_bank import build_instruction_bank_fast
+    from avlen_tpu.dialog.speaker.train_speaker import train_speaker
+
+    tables = _tables(side=4)
+    train_speaker(tables, num_steps=5, batch=16, hidden_size=32, checkpoint_dir=str(tmp_path))
+    ckpt_path = os.path.join(str(tmp_path), "speaker.pth")
+
+    cfg = get_config(
+        opts=_interactive_opts(**{
+            "TASK_CONFIG.DATASET.SYNTHETIC.SIDE": "4",
+            "NUM_PROCESSES": "8",
+            "SPEAKER.BACKEND": "neural",
+            "SPEAKER.CKPT_PATH": ckpt_path,
+        }),
+        model_dir=str(tmp_path),
+    )
+    trainer = registry.get_trainer("ddppo")(cfg)
+    trainer.ensure_setup()
+    assert trainer.instr_bank is not None
+    template_bank = build_instruction_bank_fast(trainer.env.scene_tables)
+    # the neural bank is a genuine different language channel (a barely
+    # trained speaker won't reproduce the template tokens everywhere)
+    assert not np.array_equal(np.asarray(trainer.instr_bank), template_bank)
+    trainer.train()
+    assert trainer.num_updates_done == 1
+
+
+@isolated(__file__)
+def test_dialog_pretraining_consumes_dataset_sub_instr(tmp_path, monkeypatch):
+    """π_l pretraining must take its instructions from the dataset's
+    sub_instr when episodes carry one (reference ppo_trainer.py:354-369),
+    not from the oracle bank."""
+    import avlen_tpu.rl.trainers  # noqa: F401
+    import avlen_tpu.rl.trainers.interactive as imod
+    from avlen_tpu.config import get_config
+    from avlen_tpu.core.registry import registry
+    from avlen_tpu.models.clip_text import tokenize
+    from avlen_tpu.sim.builder import construct_batched_env as real_construct
+
+    texts = {}
+
+    def construct_with_sub_instr(cfg, **kw):
+        env = real_construct(cfg, **kw)
+        for i, ep in enumerate(env.episodes):
+            ep.sub_instr = f"walk forward {i} steps then stop"
+            texts[i] = ep.sub_instr
+        return env
+
+    monkeypatch.setattr(imod, "construct_batched_env", construct_with_sub_instr)
+
+    cfg = get_config(
+        opts=_interactive_opts(**{
+            "TASK_CONFIG.DATASET.SYNTHETIC.SIDE": "4",
+            "NUM_PROCESSES": "2",
+            "RL.PPO.policy_type": "dialog",
+            "DIALOG_TRAINING": "True",
+            "NUM_UPDATES_DIALOG": "1",
+        }),
+        model_dir=str(tmp_path),
+    )
+    trainer = registry.get_trainer("ddppo")(cfg)
+    trainer.ensure_setup()
+    assert trainer.sub_instr_bank is not None
+    # run one dialog superstep directly and inspect the instruction tokens
+    key = jax.random.key(0)
+    ts = trainer._dialog_train_state()
+    ts2, carry2, traj, stats = trainer._superstep_dialog(
+        ts, trainer.carry, key, trainer.env.consts
+    )
+    dialog0 = np.asarray(traj["dialog"])[0]  # (B, 77) tokens of the first window
+    ep0 = np.asarray(trainer.env.eps["order"])[:, 0]  # initial episode per slot
+    for b in range(dialog0.shape[0]):
+        expected = tokenize([texts[int(ep0[b])]])[0]
+        np.testing.assert_array_equal(dialog0[b], expected)
+    assert np.isfinite(float(stats["dialog_loss"]))
