@@ -143,6 +143,12 @@ _C.RL.PPO.SCENE_MEMORY_TRANSFORMER.freeze_encoders = False
 _C.RL.PPO.SCENE_MEMORY_TRANSFORMER.pretraining = False
 _C.RL.PPO.SCENE_MEMORY_TRANSFORMER.use_action_encoding = True
 _C.RL.PPO.SCENE_MEMORY_TRANSFORMER.use_belief_encoding = False
+# TPU-native: PPO re-evaluation reconstructs each step's ring-memory view by
+# gather (rl/rollout_smt.py:reconstruct_memory_views) and runs the SMT on
+# (batched_eval_chunk * B)-row batches instead of T sequential scan steps —
+# same math (tests/test_batched_smt_eval.py), MXU-sized matmuls
+_C.RL.PPO.SCENE_MEMORY_TRANSFORMER.batched_eval = True
+_C.RL.PPO.SCENE_MEMORY_TRANSFORMER.batched_eval_chunk = 15
 
 _C.RL.PPO.use_belief_predictor = False
 _C.RL.PPO.BELIEF_PREDICTOR = CN()
@@ -266,6 +272,9 @@ _TC.SIMULATOR.AUDIO.DENSE_RIR_MAX_BYTES = 2147483648
 # _spectrogram_cache steady state); auto-skipped for multi-second sounds,
 # distractors, or when the bank exceeds the byte budget.
 _TC.SIMULATOR.AUDIO.CACHE_SPECTROGRAMS = True
+# precompute per-(sound, second) convolution-segment rFFTs (tiny bank): the
+# non-banked audio path then skips one large rFFT per env per step
+_TC.SIMULATOR.AUDIO.CACHE_SOUND_FFTS = True
 _TC.SIMULATOR.AUDIO.SPECTROGRAM_CACHE_MAX_BYTES = 4294967296
 
 _TC.TASK = CN()

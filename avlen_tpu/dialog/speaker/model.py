@@ -102,6 +102,29 @@ class Seq2SeqSpeaker(nn.Module):
             logits.append(lg)
         return jnp.stack(logits, axis=1)
 
+    def scheduled_logits(self, actions, world_feats, lengths, target_words, key, sample_prob):
+        """Scheduled-sampling logits (Bengio et al. 2015): at each decode
+        step the input token is the gold word with prob (1 - sample_prob) or
+        the model's own argmax prediction otherwise — closing the exposure
+        bias that capped the teacher-forced speaker at BLEU 0.77 despite
+        ~100% token accuracy. ``sample_prob`` may be a traced scalar (the
+        trainer ramps it over training)."""
+        ctx, carry = self.encode(actions, world_feats, lengths)
+        ctx_mask = (jnp.arange(ctx.shape[1])[None, :] < lengths[:, None]).astype(jnp.float32)
+        b, t = target_words.shape
+        word = target_words[:, 0]  # BOS
+        c = carry
+        logits_list = []
+        for i in range(t):
+            c, lg = self.decoder.step(c, word, ctx, ctx_mask)
+            logits_list.append(lg)
+            if i + 1 < t:
+                key, sub = jax.random.split(key)
+                use_model = jax.random.uniform(sub, (b,)) < sample_prob
+                model_word = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+                word = jnp.where(use_model, model_word, target_words[:, i + 1])
+        return jnp.stack(logits_list, axis=1)
+
     def rollout(self, actions, world_feats, lengths, bos_id: int, eos_id: int):
         """Argmax decode (speaker.py:131-212 pipeline path). Returns (B, T) ids."""
         ctx, carry = self.encode(actions, world_feats, lengths)

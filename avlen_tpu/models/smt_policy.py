@@ -71,8 +71,10 @@ class AudioNavSMTNet(nn.Module):
     def get_features(self, obs: Dict[str, jnp.ndarray], prev_actions: jnp.ndarray) -> jnp.ndarray:
         """(B, feature_size); prev_actions (B,) int32 (one-hot embedded,
         policy.py:629-637, 664-676)."""
-        parts = [
-            self.visual_encoder(obs.get("rgb"), obs.get("depth")),
+        parts = []
+        if self.use_rgb or self.use_depth:
+            parts.append(self.visual_encoder(obs.get("rgb"), obs.get("depth")))
+        parts += [
             self.action_encoder(jax.nn.one_hot(prev_actions, self.num_actions)),
             self.goal_encoder(obs["spectrogram"]),
         ]

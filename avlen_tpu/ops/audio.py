@@ -146,12 +146,22 @@ def _conv_fft_len(out_len: int, max_rir_len: int) -> int:
     return n
 
 
+def _convolve_from_fft(seg_f: jax.Array, rir: jax.Array, sampling_rate: int, fft_len: int) -> jax.Array:
+    """(B, F) segment rFFTs × (B, L, 2) RIRs → (B, 2, sr) valid windows."""
+    l = rir.shape[1]
+    rir_f = jnp.fft.rfft(rir.astype(jnp.float32), n=fft_len, axis=1)  # (B, F, 2)
+    conv = jnp.fft.irfft(seg_f[:, :, None] * rir_f, n=fft_len, axis=1)  # (B, fft_len, 2)
+    valid = jax.lax.dynamic_slice_in_dim(conv, l - 1, sampling_rate, axis=1)
+    return valid.swapaxes(1, 2)  # (B, 2, sr)
+
+
 @functools.partial(jax.jit, static_argnames=("sampling_rate",))
 def binaural_convolve(
     sound_padded: jax.Array,
     window_start: jax.Array,
     rir: jax.Array,
     sampling_rate: int,
+    seg_f: jax.Array | None = None,
 ) -> jax.Array:
     """One 1-second binaural window of RIR-convolved source audio, batched.
 
@@ -162,6 +172,8 @@ def binaural_convolve(
         sound (the reference's ``self._audio_index * sampling_rate``).
       rir: (B, L, 2) trailing-zero-padded binaural RIRs.
       sampling_rate: output samples per window.
+      seg_f: optional precomputed (B, F) segment rFFTs (SceneBank
+        sound_fft_bank gathers) — skips the per-step segment gather + rFFT.
 
     Returns: (B, 2, sampling_rate) audio, equal to the reference's
     ``_compute_audiogoal`` branches (simulator.py:659-680) for every window.
@@ -170,17 +182,14 @@ def binaural_convolve(
     seg_len = sampling_rate + l - 1
     fft_len = _conv_fft_len(sampling_rate, l)
 
-    # segment starting at window_start in unpadded coords == same offset in
-    # padded coords because of the L-1 leading zeros.
-    idx = window_start[:, None] + jnp.arange(seg_len)[None, :]
-    idx = jnp.clip(idx, 0, sound_padded.shape[-1] - 1)
-    seg = jnp.take_along_axis(sound_padded, idx, axis=-1)  # (B, seg_len)
-
-    seg_f = jnp.fft.rfft(seg.astype(jnp.float32), n=fft_len, axis=-1)  # (B, F)
-    rir_f = jnp.fft.rfft(rir.astype(jnp.float32), n=fft_len, axis=1)  # (B, F, 2)
-    conv = jnp.fft.irfft(seg_f[:, :, None] * rir_f, n=fft_len, axis=1)  # (B, fft_len, 2)
-    valid = jax.lax.dynamic_slice_in_dim(conv, l - 1, sampling_rate, axis=1)
-    return valid.swapaxes(1, 2)  # (B, 2, sr)
+    if seg_f is None:
+        # segment starting at window_start in unpadded coords == same offset
+        # in padded coords because of the L-1 leading zeros.
+        idx = window_start[:, None] + jnp.arange(seg_len)[None, :]
+        idx = jnp.clip(idx, 0, sound_padded.shape[-1] - 1)
+        seg = jnp.take_along_axis(sound_padded, idx, axis=-1)  # (B, seg_len)
+        seg_f = jnp.fft.rfft(seg.astype(jnp.float32), n=fft_len, axis=-1)  # (B, F)
+    return _convolve_from_fft(seg_f, rir, sampling_rate, fft_len)
 
 
 @functools.partial(jax.jit, static_argnames=("sampling_rate", "config", "has_distractor"))
@@ -194,20 +203,26 @@ def render_audiogoal(
     distractor_rir: jax.Array | None = None,
     has_distractor: bool = False,
     config: SpectrogramConfig | None = None,
+    seg_f: jax.Array | None = None,
+    distractor_seg_f: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Full audio observation for a batch of envs: audio waveform + spectrogram.
 
     ``active`` (B,) bool masks envs whose step count exceeds the sound duration
     (reference emits silence then, simulator.py:646-649). The distractor, when
     present, always renders its first second (simulator.py:682-697) and is
-    added to the goal audio.
+    added to the goal audio. ``seg_f``/``distractor_seg_f``: optional
+    precomputed segment rFFTs (SceneBank.sound_fft_bank).
     """
     cfg = config or SpectrogramConfig(sampling_rate=sampling_rate)
     start = audio_index * sampling_rate
-    audio = binaural_convolve(sound_padded, start, rir, sampling_rate)
+    audio = binaural_convolve(sound_padded, start, rir, sampling_rate, seg_f=seg_f)
     if has_distractor:
         dstart = jnp.zeros_like(start)
-        audio = audio + binaural_convolve(distractor_sound_padded, dstart, distractor_rir, sampling_rate)
+        audio = audio + binaural_convolve(
+            distractor_sound_padded, dstart, distractor_rir, sampling_rate,
+            seg_f=distractor_seg_f,
+        )
     audio = jnp.where(active[:, None, None], audio, 0.0)
     spec = spectrogram_from_audiogoal(audio, cfg)
     return audio, spec

@@ -2,7 +2,14 @@ from avlen_tpu.rl.gae import compute_gae
 from avlen_tpu.rl.ppo import PPOConfig, make_optimizer, ppo_update
 from avlen_tpu.rl.ppo_interactive import dialog_supervised_update, ppo_update_interactive
 from avlen_tpu.rl.rollout import CarryState, RolloutBatch, collect_rollout
-from avlen_tpu.rl.rollout_smt import SMTCarry, collect_rollout_smt, evaluate_sequence_smt
+from avlen_tpu.rl.rollout_smt import (
+    SMTCarry,
+    batched_ring_eval,
+    collect_rollout_smt,
+    evaluate_sequence_smt,
+    evaluate_sequence_smt_batched,
+    reconstruct_memory_views,
+)
 from avlen_tpu.rl.rollout_interactive import (
     InteractiveCarry,
     InteractiveConfig,
@@ -23,6 +30,9 @@ __all__ = [
     "SMTCarry",
     "collect_rollout_smt",
     "evaluate_sequence_smt",
+    "evaluate_sequence_smt_batched",
+    "batched_ring_eval",
+    "reconstruct_memory_views",
     "InteractiveCarry",
     "InteractiveConfig",
     "InteractiveFns",

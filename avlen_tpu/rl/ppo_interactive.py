@@ -15,6 +15,7 @@ Loss semantics from savi/ppo/ppo.py:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, Dict, Tuple
 
 import jax
@@ -59,6 +60,39 @@ def evaluate_option_sequence(
     return v, lp, ent, unct
 
 
+def evaluate_option_sequence_batched(
+    evaluate_step: Callable,
+    traj_obs: Dict[str, jnp.ndarray],
+    feat_option: jnp.ndarray,
+    query_state: jnp.ndarray,
+    last_query_info: jnp.ndarray,
+    masks: jnp.ndarray,
+    actions_option: jnp.ndarray,
+    initial_memory: SMTMemory,
+    chunk: int = 15,
+):
+    """T-parallel evaluate_option_sequence (rl/rollout_smt.batched_ring_eval):
+    identical per-step ring views, MXU-sized batches."""
+    from avlen_tpu.rl.rollout_smt import batched_ring_eval
+
+    sensor_obs = {k: v for k, v in traj_obs.items() if not k.startswith("__")}
+
+    def eval_fn(inp, views):
+        obs_f, pa_f, qs_f, lqi_f, a_f = inp
+        (mem, mem_valid), = views
+        v, lp, ent, logits, unct, _ = evaluate_step(
+            obs_f, pa_f, mem, mem_valid, qs_f, lqi_f, a_f
+        )
+        return v, lp, ent, unct
+
+    return batched_ring_eval(
+        eval_fn,
+        (sensor_obs, traj_obs["__prev_action"], query_state, last_query_info, actions_option),
+        [(initial_memory, feat_option, masks)],
+        chunk=chunk,
+    )
+
+
 def ppo_update_interactive(
     params,
     opt_state,
@@ -71,6 +105,7 @@ def ppo_update_interactive(
     config: PPOConfig,
     unct_coef: float = 0.5,
     grad_reduce: Callable = lambda g: g,
+    batched_chunk: int = 0,  # >0: T-parallel ring re-eval with this chunk
 ):
     """One π_q PPO update over the interactive trajectory."""
     t, b = traj["actions_option"].shape
@@ -87,9 +122,15 @@ def ppo_update_interactive(
     def sel0(tree, idx):
         return jax.tree.map(lambda v: jnp.take(v, idx, axis=0), tree)
 
+    eval_seq = (
+        functools.partial(evaluate_option_sequence_batched, chunk=batched_chunk)
+        if batched_chunk > 0
+        else evaluate_option_sequence
+    )
+
     def loss_fn(p, idx):
         obs = sel1(traj["obs"], idx)
-        v, lp, ent, unct = evaluate_option_sequence(
+        v, lp, ent, unct = eval_seq(
             lambda *a: evaluate_step(p, *a),
             obs,
             jnp.take(traj["feat_option"], idx, axis=1),
@@ -185,6 +226,44 @@ def evaluate_dialog_sequence(
     return logits
 
 
+def evaluate_dialog_sequence_batched(
+    evaluate_step: Callable,
+    traj_obs: Dict[str, jnp.ndarray],
+    feat_vln: jnp.ndarray,
+    feat_vln_dialog: jnp.ndarray,
+    dialog: jnp.ndarray,
+    agent_step: jnp.ndarray,
+    masks_vln: jnp.ndarray,
+    actions: jnp.ndarray,
+    initial_mem_vln: SMTMemory,
+    initial_mem_vln_dialog: SMTMemory,
+    chunk: int = 15,
+):
+    """T-parallel evaluate_dialog_sequence: both π_l ring memories (state and
+    dialog-state) reconstructed by gather (rl/rollout_smt.batched_ring_eval)."""
+    from avlen_tpu.rl.rollout_smt import batched_ring_eval
+
+    sensor_obs = {k: v for k, v in traj_obs.items() if not k.startswith("__")}
+
+    def eval_fn(inp, views):
+        obs_f, pa_f, d_f, st_f, a_f = inp
+        (mem, mv), (smem, smv) = views
+        _, _, _, logits, _, _ = evaluate_step(
+            obs_f, pa_f, mem, mv, smem, smv, d_f, st_f, a_f
+        )
+        return logits
+
+    return batched_ring_eval(
+        eval_fn,
+        (sensor_obs, traj_obs["__prev_action"], dialog, agent_step, actions),
+        [
+            (initial_mem_vln, feat_vln, masks_vln),
+            (initial_mem_vln_dialog, feat_vln_dialog, masks_vln),
+        ],
+        chunk=chunk,
+    )
+
+
 def dialog_supervised_update(
     params,
     opt_state,
@@ -193,14 +272,21 @@ def dialog_supervised_update(
     optimizer: optax.GradientTransformation,
     replay_only: bool = True,
     grad_reduce: Callable = lambda g: g,
+    batched_chunk: int = 0,  # >0: T-parallel ring re-eval with this chunk
 ):
     """π_l class-weighted CE against oracle actions (update_dialog,
     savi/ppo/ppo.py:99-154). ``replay_only`` restricts to queried steps (the
     REPLAY_STORE flow); DIALOG_TRAINING uses all o_mask steps."""
     weights_tbl = jnp.asarray(DIALOG_CLASS_WEIGHTS)
 
+    eval_seq = (
+        functools.partial(evaluate_dialog_sequence_batched, chunk=batched_chunk)
+        if batched_chunk > 0
+        else evaluate_dialog_sequence
+    )
+
     def loss_fn(p):
-        logits = evaluate_dialog_sequence(
+        logits = eval_seq(
             lambda *a: evaluate_step(p, *a),
             traj["obs"],
             traj["feat_vln"],

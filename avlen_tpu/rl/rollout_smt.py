@@ -109,6 +109,135 @@ def collect_rollout_smt(
     return carry2, batch
 
 
+def reconstruct_memory_views(
+    initial_memory: SMTMemory,
+    features_seq: jnp.ndarray,  # (T, B, F) stored step features
+    masks_seq: jnp.ndarray,  # (T, B) 0 at episode start
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Closed-form ring-buffer replay: the index map from (step t, env b,
+    slot j) to the feature each memory slot held when step t was evaluated.
+
+    The sequential semantics (reset_where → evaluate → insert per step) imply
+    slot j at step t contains the stored feature of step
+    ``s* = t-1 - ((t-1 - base_t - j) mod M)`` where ``base_t`` is the most
+    recent reset step r ≤ t (ring restarts at slot 0 there), or ``-idx0``
+    when no reset has occurred (inserts continue the pre-rollout ring). If
+    s* predates the current episode segment the slot holds the pre-rollout
+    entry (segment 0 only, where the initial ring is still alive) or nothing.
+
+    Returns ``(content_idx, valid)``: content_idx (T, B, M) int32 indices
+    into ``concat([features_seq, initial ring slots, one zero row], axis=0)``
+    along a (T+M+1)-length axis; valid (T, B, M) float like memory.valid.
+    Used by evaluate_sequence_smt_batched to turn the T-sequential PPO
+    re-evaluation into T-parallel gathers + one batched SMT forward (the
+    reference instead snapshots num_copies=T+1 memories,
+    savi/models/rollout_storage.py:145-173).
+    """
+    t_len, b = masks_seq.shape
+    m = initial_memory.features.shape[1]
+    steps = jnp.arange(t_len, dtype=jnp.int32)[:, None]  # (T, 1)
+
+    reset_at = jnp.where(masks_seq == 0, steps, -1)  # (T, B)
+    r = jax.lax.cummax(reset_at, axis=0)  # (T, B) latest reset step ≤ t, -1 if none
+    has_reset = r >= 0
+    base = jnp.where(has_reset, r, -initial_memory.idx[None, :])  # (T, B)
+    seg_lo = jnp.maximum(r, 0)  # first insert step visible at t
+
+    j = jnp.arange(m, dtype=jnp.int32)[None, None, :]  # (1, 1, M)
+    tm1 = steps[:, :, None] - 1  # (T, 1→B, M) broadcast
+    s_star = tm1 - jnp.mod(tm1 - base[:, :, None] - j, m)  # (T, B, M)
+    ins_ok = s_star >= seg_lo[:, :, None]
+    init_ok = (
+        (~has_reset)[:, :, None]
+        & (initial_memory.valid > 0)[None, :, :]
+        & ~ins_ok
+    )
+    content_idx = jnp.where(
+        ins_ok, s_star, jnp.where(init_ok, t_len + j, t_len + m)
+    ).astype(jnp.int32)
+    valid = (ins_ok | init_ok).astype(initial_memory.valid.dtype)
+    return content_idx, valid
+
+
+def batched_ring_eval(
+    eval_fn: Callable,  # (flat_inputs, [(mem_feats, mem_valid), ...]) -> pytree of (C·B, ...)
+    inputs,  # pytree with (T, B, ...) leaves, passed flattened to eval_fn
+    memories,  # sequence of (initial SMTMemory, features_seq (T,B,F), masks_seq (T,B))
+    chunk: int = 15,
+):
+    """T-parallel ring-replay evaluation: per-step memory views are gathered
+    from the stored features (reconstruct_memory_views) and ``eval_fn`` runs
+    on (chunk·B)-row batches — MXU-sized matmuls instead of T sequential
+    scan steps of B-row ones. Supports multiple ring memories (the AVLEN
+    interactive policies carry up to two per evaluator). Chunking bounds the
+    gathered (chunk, B, M, F) tensors; each chunk is rematerialized in the
+    backward pass. Returns eval_fn's outputs reshaped to (T, B, ...)."""
+    first = jax.tree.leaves(inputs)[0]
+    t_len, b = first.shape[:2]
+    while t_len % chunk:  # static shapes: largest divisor ≤ requested chunk
+        chunk -= 1
+    n_chunks = t_len // chunk
+
+    plans = []  # (pool (B, T+M+1, F), content_idx (T,B,M), valid (T,B,M))
+    for mem0, feats, masks in memories:
+        content_idx, valid = reconstruct_memory_views(mem0, feats, masks)
+        pool = jnp.concatenate(
+            [feats, jnp.swapaxes(mem0.features, 0, 1), jnp.zeros_like(feats[:1])],
+            axis=0,
+        )
+        plans.append((jnp.swapaxes(pool, 0, 1), content_idx, valid))
+
+    def eval_chunk(_, inp):
+        inputs_c, idx_valid_c = inp  # leaves (C, B, ...)
+        c = jax.tree.leaves(inputs_c)[0].shape[0]
+        views = []
+        for (pool, _, _), (idx_c, valid_c) in zip(plans, idx_valid_c):
+            m = idx_c.shape[-1]
+            idx_b = jnp.swapaxes(idx_c, 0, 1).reshape(b, c * m)  # (B, C·M)
+            mem = jnp.take_along_axis(pool, idx_b[:, :, None], axis=1)
+            mem = mem.reshape(b, c, m, -1).swapaxes(0, 1).reshape(c * b, m, -1)
+            views.append((mem, valid_c.reshape(c * b, m)))
+        flat = lambda x: x.reshape((c * b,) + x.shape[2:])
+        out = eval_fn(jax.tree.map(flat, inputs_c), views)
+        return None, jax.tree.map(lambda x: x.reshape((c, b) + x.shape[1:]), out)
+
+    eval_chunk = jax.checkpoint(eval_chunk, prevent_cse=False)
+    reshape_c = lambda x: x.reshape((n_chunks, chunk) + x.shape[1:])
+    xs = (
+        jax.tree.map(reshape_c, inputs),
+        [(reshape_c(ci), reshape_c(va)) for _, ci, va in plans],
+    )
+    _, out = jax.lax.scan(eval_chunk, None, xs)
+    return jax.tree.map(lambda x: x.reshape((t_len,) + x.shape[2:]), out)
+
+
+def evaluate_sequence_smt_batched(
+    evaluate_step: Callable,  # (obs, prev_a, mem_feats, mem_valid, actions) -> (v, lp, ent, logits, x)
+    obs_seq: Dict[str, jnp.ndarray],  # (T, Bm, ...) incl. __prev_action/__feature
+    initial_memory: SMTMemory,
+    masks_seq: jnp.ndarray,  # (T, Bm)
+    actions_seq: jnp.ndarray,  # (T, Bm)
+    chunk: int = 15,
+):
+    """T-parallel evaluate_sequence_smt (see batched_ring_eval): numerically
+    the same per-step memory views as the scan, same outputs."""
+    features = obs_seq["__feature"]  # (T, B, F)
+    sensor_obs = {k: v for k, v in obs_seq.items() if not k.startswith("__")}
+
+    def eval_fn(inp, views):
+        obs_f, pa_f, a_f = inp
+        (mem, mem_valid), = views
+        v, lp, ent, logits, _ = evaluate_step(obs_f, pa_f, mem, mem_valid, a_f)
+        return v, lp, ent, logits
+
+    return batched_ring_eval(
+        eval_fn,
+        (sensor_obs, obs_seq["__prev_action"], actions_seq),
+        [(initial_memory, features, masks_seq)],
+        chunk=chunk,
+    )
+
+
 def evaluate_sequence_smt(
     evaluate_step: Callable,  # (obs, prev_a, mem_feats, mem_valid, actions) -> (v, lp, ent, logits, x)
     obs_seq: Dict[str, jnp.ndarray],  # (T, Bm, ...) incl. __prev_action/__feature

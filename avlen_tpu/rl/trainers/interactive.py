@@ -316,10 +316,12 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
             def evaluate_step(p, obs, pa, mf, mv, qs, lqi, actions):
                 return option_p.apply(p, obs, pa, mf, mv, qs, lqi, actions, method=OptionPolicy.evaluate_step)
 
+            smt_cfg = cfg.RL.PPO.SCENE_MEMORY_TRANSFORMER
             return ppo_update_interactive(
                 po, opt_state, traj, adv, ret, key, evaluate_step,
                 self.optimizer_q, self.ppo_cfg, unct_coef=cfg.RL.PPO.unct_coef,
                 grad_reduce=grad_reduce,
+                batched_chunk=smt_cfg.batched_eval_chunk if smt_cfg.batched_eval else 0,
             )
 
         def update_l(pd, opt_state, traj, replay_only=True, grad_reduce=lambda g: g):
@@ -329,9 +331,11 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
                     method=DialogPolicy.evaluate_step,
                 )
 
+            smt_cfg = cfg.RL.PPO.SCENE_MEMORY_TRANSFORMER
             return dialog_supervised_update(
                 pd, opt_state, traj, evaluate_step, self.optimizer_l,
                 replay_only=replay_only, grad_reduce=grad_reduce,
+                batched_chunk=smt_cfg.batched_eval_chunk if smt_cfg.batched_eval else 0,
             )
 
         have_sub_instr = self.sub_instr_bank is not None

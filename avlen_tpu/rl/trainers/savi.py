@@ -36,7 +36,12 @@ from avlen_tpu.models.memory import init_memory
 from avlen_tpu.models.smt_policy import AudioNavSMTNet, SMTPolicy
 from avlen_tpu.rl.gae import compute_gae
 from avlen_tpu.rl.ppo import PPOConfig, make_optimizer, ppo_update
-from avlen_tpu.rl.rollout_smt import SMTCarry, collect_rollout_smt, evaluate_sequence_smt
+from avlen_tpu.rl.rollout_smt import (
+    SMTCarry,
+    collect_rollout_smt,
+    evaluate_sequence_smt,
+    evaluate_sequence_smt_batched,
+)
 from avlen_tpu.rl.trainers.avnav import ppo_config_from
 from avlen_tpu.rl.trainers.base import METRIC_BLACKLIST, BaseRLTrainer
 from avlen_tpu.sim.builder import construct_batched_env
@@ -168,6 +173,7 @@ class SaviTrainer(BaseRLTrainer):
         policy, env = self.policy, self.env
         num_steps, ppo_cfg, optimizer = self.num_steps, self.ppo_cfg, self.optimizer
         bp_cfg = self.config.RL.PPO.BELIEF_PREDICTOR
+        smt_cfg = self.config.RL.PPO.SCENE_MEMORY_TRANSFORMER
         belief_net = self.belief_net
 
         def collect(params, belief_params, carry, deterministic=False):
@@ -237,6 +243,11 @@ class SaviTrainer(BaseRLTrainer):
                 def eval_step(o, pa, mf, mv, a):
                     return policy.apply(p, o, pa, mf, mv, a, method=SMTPolicy.evaluate_step)
 
+                if smt_cfg.batched_eval:
+                    return evaluate_sequence_smt_batched(
+                        eval_step, obs, init_mem, masks, actions,
+                        chunk=smt_cfg.batched_eval_chunk,
+                    )
                 return evaluate_sequence_smt(eval_step, obs, init_mem, masks, actions)
 
             params, opt_state, stats = ppo_update(
@@ -256,6 +267,7 @@ class SaviTrainer(BaseRLTrainer):
             shard_pytree,
         )
 
+        self._collect_ts, self._update_ts = collect_ts, update_ts  # ablation timing
         if self.mesh is not None:
             train_state_ex = self._train_state()
             self._superstep, carry_spec = make_sharded_superstep(

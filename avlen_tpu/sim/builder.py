@@ -49,6 +49,7 @@ def sensors_from_task(tc: ConfigNode) -> Tuple[str, ...]:
         "POINTGOAL_WITH_GPS_COMPASS_SENSOR": "pointgoal_with_gps_compass",
         "SEMANTIC_OBJECT_SENSOR": "semantic_object",
         "EGOMAP_SENSOR": "egomap",
+        "MPCAT40_INDEX_SENSOR": "mpcat40_index",
     }
     sensors = [mapping[s] for s in tc.TASK.SENSORS if s in mapping]
     if not sensors:
@@ -247,7 +248,11 @@ def construct_batched_env(
         sensors=tuple(sensors),
         reward=reward_config_from(config),
         has_distractor=tc.SIMULATOR.AUDIO.HAS_DISTRACTOR_SOUND,
-        record_pose_info=bool(config.VIDEO_OPTION),
+        # the TopDownMap *measure* (habitat nav.py:705) needs the agent trace
+        # in the step metrics; it is rendered host-side from the trace
+        # (utils/maps.top_down_map_measure), like the videos
+        record_pose_info=bool(config.VIDEO_OPTION)
+        or "TOP_DOWN_MAP" in tc.TASK.MEASUREMENTS,
     )
     audio_cfg = tc.SIMULATOR.AUDIO
     if audio_cfg.CACHE_SPECTROGRAMS and not env_cfg.has_distractor:
@@ -256,6 +261,10 @@ def construct_batched_env(
         bank.spec_bank = precompute_spectrogram_bank(
             bank, max_bytes=audio_cfg.SPECTROGRAM_CACHE_MAX_BYTES
         )
+    if audio_cfg.CACHE_SOUND_FFTS and bank.spec_bank is None:
+        from avlen_tpu.sim.scene import precompute_sound_fft_bank
+
+        bank.sound_fft_bank = precompute_sound_fft_bank(bank)
 
     env = BatchedAudioNavEnv(bank, packed, env_cfg)
     env.scene_tables = tables  # host-side per-scene tables (speaker/instruction bank)

@@ -235,6 +235,9 @@ class BatchedAudioNavEnv:
         b = self.num_envs
         cursor = jnp.zeros((b,), jnp.int32)
         order = self._weps["order"] if order is None else jnp.asarray(order)
+        # the carry's episode stream must be its own buffer: donated
+        # supersteps would otherwise delete the shared eps["order"] table
+        order = jnp.copy(order)
         ep_i = order[jnp.arange(b), cursor]
         f = self._episode_fields(ep_i)
         zero = jnp.zeros((b,), jnp.int32)
@@ -482,16 +485,26 @@ class BatchedAudioNavEnv:
             audio_index = (state.offset + state.step_count) % jnp.maximum(secs, 1)
             active = state.step_count <= state.duration  # silence past duration (simulator.py:646-649)
             dargs = {}
+            if bank.sound_fft_bank is not None:
+                # precomputed per-(sound, second) segment rFFTs: one gather
+                # replaces the per-step segment slice + rFFT (scene.py)
+                s_max = bank.sound_fft_bank.shape[1]
+                dargs["seg_f"] = bank.sound_fft_bank[
+                    state.sound, jnp.clip(audio_index, 0, s_max - 1)
+                ]
             if cfg.has_distractor:
                 drir = bank.rir.gather(
                     state.scene, az, state.node, jnp.maximum(state.distractor_node, 0)
                 )
                 has = (state.distractor_node >= 0)[:, None, None].astype(drir.dtype)
-                dargs = dict(
-                    distractor_sound_padded=bank.sounds_padded[jnp.maximum(state.distractor_sound, 0)],
+                dsound = jnp.maximum(state.distractor_sound, 0)
+                dargs.update(
+                    distractor_sound_padded=bank.sounds_padded[dsound],
                     distractor_rir=drir * has,
                     has_distractor=True,
                 )
+                if bank.sound_fft_bank is not None:
+                    dargs["distractor_seg_f"] = bank.sound_fft_bank[dsound, 0]
             audio, spec = render_audiogoal(
                 sound_padded, audio_index, rir, active, bank.sampling_rate,
                 config=self.spec_config, **dargs,
@@ -532,6 +545,15 @@ class BatchedAudioNavEnv:
         b = state.node.shape[0]
         if "category" in sensors:
             obs["category"] = jax.nn.one_hot(state.category, cfg.num_categories)
+        if "mpcat40_index" in sensors:
+            # MPCAT40Index sensor (soundspaces/tasks/nav.py:515-569): the
+            # episode's object category as its raw mpcat40 index, shape (B, 1)
+            from avlen_tpu.sim.mp3d_utils import task_id_to_mp3d_id
+
+            table = jnp.asarray(task_id_to_mp3d_id())  # (21,) tiny literal
+            obs["mpcat40_index"] = table[
+                jnp.clip(state.category, 0, table.shape[0] - 1)
+            ][:, None]
         if "category_belief" in sensors:
             obs["category_belief"] = jnp.zeros((b, cfg.num_categories), jnp.float32)
         if "location_belief" in sensors:

@@ -151,6 +151,15 @@ CATEGORY_TO_MP3D_CATEGORY_ID = {
 NUM_TASK_CATEGORIES = max(CATEGORY_INDEX_MAPPING.values()) + 1  # 21
 
 
+def task_id_to_mp3d_id() -> np.ndarray:
+    """(21,) task category id → raw mpcat40 index (the MPCAT40Index sensor's
+    mapping, soundspaces/tasks/nav.py:520-543)."""
+    table = np.zeros((NUM_TASK_CATEGORIES,), np.int32)
+    for name, tid in CATEGORY_INDEX_MAPPING.items():
+        table[tid] = CATEGORY_TO_MP3D_CATEGORY_ID[name]
+    return table
+
+
 def mp3d_id_to_task_id() -> np.ndarray:
     """(200,) mpcat40 index → 21-way task id; unmapped classes collapse to
     the extra 'unknown' id 21 (SemanticObjectSensor._initialize_category_

@@ -118,6 +118,12 @@ class SceneBank:
     grid_size: float = 1.0
     sampling_rate: int = 16000
     num_categories: int = 21
+    # optional precomputed per-(sound, second) segment rFFTs (K, S_secs, F)
+    # complex64: the source-side half of the per-step FFT convolution is a
+    # pure function of (sound id, second index) — windows are second-aligned
+    # (simulator.py:666-680) — so it is rendered once and gathered, saving
+    # one length-2^n rFFT per env per step on the non-banked audio path.
+    sound_fft_bank: Optional[jax.Array] = None
     # optional precomputed spectrogram bank (S, K, 4, N, N, F', T', 2) bf16:
     # the device-resident equivalent of the reference's per-(src, recv,
     # azimuth) `_spectrogram_cache` (soundspaces/simulator.py:701-734,
@@ -228,7 +234,7 @@ def _register_pytrees() -> None:
 
     _BANK_CHILDREN = (
         "tables", "sounds_padded", "sound_secs", "rir", "rgb", "depth",
-        "semantic", "semantic_instance_to_mp3d", "spec_bank",
+        "semantic", "semantic_instance_to_mp3d", "sound_fft_bank", "spec_bank",
     )
     _BANK_AUX = ("grid_size", "sampling_rate", "num_categories")
 
@@ -246,6 +252,32 @@ def _register_pytrees() -> None:
 
 
 _register_pytrees()
+
+
+def precompute_sound_fft_bank(bank: SceneBank) -> jax.Array:
+    """(K, S_max, F) complex64 rFFTs of every (sound, second) convolution
+    segment, using the exact segment gather + rFFT the per-step path
+    (ops/audio.binaural_convolve) performs — results are bit-identical."""
+    from avlen_tpu.ops.audio import _conv_fft_len
+
+    sr = bank.sampling_rate
+    l = bank.rir.length
+    seg_len = sr + l - 1
+    fft_len = _conv_fft_len(sr, l)
+    k = int(bank.sounds_padded.shape[0])
+    s_max = int(np.asarray(bank.sound_secs).max())
+
+    @jax.jit
+    def render():
+        starts = (jnp.arange(s_max) * sr)[None, :, None]  # (1, S, 1)
+        idx = starts + jnp.arange(seg_len)[None, None, :]  # (1, S, seg)
+        idx = jnp.clip(idx, 0, bank.sounds_padded.shape[-1] - 1)
+        segs = jnp.take_along_axis(
+            bank.sounds_padded[:, None, :], jnp.broadcast_to(idx, (k, s_max, seg_len)), axis=-1
+        )
+        return jnp.fft.rfft(segs.astype(jnp.float32), n=fft_len, axis=-1)
+
+    return render()
 
 
 def pad_sounds(sounds: "list[np.ndarray]", rir_length: int, sampling_rate: int) -> "tuple[np.ndarray, np.ndarray]":

@@ -120,3 +120,42 @@ def draw_top_down_map(
     if fog is not None:
         img = apply_fog_to_image(img, fog)
     return img
+
+
+def top_down_map_measure(
+    metrics,
+    scene_tables,
+    t: int,
+    b: int,
+    trail: Optional[Sequence[int]] = None,
+    fog: Optional[np.ndarray] = None,
+    size: int = 256,
+) -> dict:
+    """The TopDownMap *measure* payload for env slot ``b`` at rollout step
+    ``t`` (habitat/tasks/nav/nav.py:705-957 info["top_down_map"] contract):
+    {"map", "fog_of_war_mask", "agent_map_coord", "agent_angle"}.
+
+    The batched env records the agent trace in its step metrics
+    (EnvConfig.record_pose_info, enabled by TASK.MEASUREMENTS TOP_DOWN_MAP);
+    rendering is host-side per episode — maps never ride the device hot path.
+    """
+    metrics = {k: np.asarray(v) for k, v in metrics.items()}
+    scene = int(metrics["agent_scene"][t, b])
+    tbl = scene_tables[scene]
+    node = int(metrics["agent_node"][t, b])
+    rot = int(metrics["agent_rot"][t, b])
+    goal = int(metrics["goal_node"][t, b])
+    edges = np.array(
+        [[u, v] for u in range(tbl.num_nodes) for v in tbl.neighbors[u] if v >= 0],
+        np.int32,
+    )
+    img = draw_top_down_map(
+        tbl.positions, edges, node, rot, goal, trail=trail, size=size, fog=fog
+    )
+    px, _, _ = _to_px(tbl.positions, size)
+    return {
+        "map": img,
+        "fog_of_war_mask": fog if fog is not None else np.ones((size, size), np.uint8),
+        "agent_map_coord": (int(px[node][1]), int(px[node][0])),
+        "agent_angle": float(np.deg2rad(rot * 90)),
+    }

@@ -1,0 +1,125 @@
+"""Ablation timing of the SAVi superstep: collect vs PPO update vs full.
+
+The published bench times one fused (collect -> update) program; to aim the
+optimization effort this script times the two halves separately at the exact
+bench shapes (bench.py _PRODUCTION_OPTS) and optionally dumps a profiler
+trace. Run on the real TPU:
+
+    python -m scripts.profile_superstep [--trace DIR] [--iters N]
+
+Prints one JSON line {collect_s, update_s, superstep_s, ...}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--trace", default=None, help="jax.profiler trace output dir")
+    ap.add_argument("--num-envs", type=int, default=128)
+    ap.add_argument("--banked", default="True")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    import avlen_tpu.rl.trainers  # noqa: F401
+    from avlen_tpu.config import get_config
+    from avlen_tpu.core.registry import registry
+    from bench import _PRODUCTION_OPTS, _aot
+
+    workdir = tempfile.mkdtemp(prefix="avlen_prof_")
+    try:
+        cfg = get_config(
+            opts=_PRODUCTION_OPTS + [
+                "TRAINER_NAME", "savi",
+                "RL.PPO.policy_type", "smt",
+                "NUM_PROCESSES", str(args.num_envs),
+                "TASK_CONFIG.SIMULATOR.AUDIO.CACHE_SPECTROGRAMS", args.banked,
+            ],
+            model_dir=workdir,
+        )
+        trainer = registry.get_trainer("savi")(cfg)
+        trainer.ensure_setup()
+
+        from avlen_tpu.parallel.ddppo import _dedupe_buffers
+
+        train_state = trainer._train_state()
+        carry = _dedupe_buffers(trainer.carry)
+        key = jax.random.key(7)
+        consts = trainer.env.consts
+
+        superstep = getattr(trainer._superstep, "_jitted", trainer._superstep)
+        t0 = time.time()
+        step_c, step_flops = _aot(superstep, train_state, carry, key, consts)
+        print(f"[prof] superstep compile {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
+        # run once: outputs give a post-warmup carry + a real batch for the
+        # update-only timing (donation consumed the original carry buffers)
+        train_state, carry, batch, stats = step_c(train_state, carry, key, consts)
+        jax.block_until_ready(stats["value_loss"])
+
+        def timeit(fn, *a):
+            out = None
+            t0 = time.time()
+            for _ in range(args.iters):
+                out = fn(*a)
+            jax.block_until_ready(jax.tree.leaves(out)[0])
+            return (time.time() - t0) / args.iters
+
+        # --- collect only (the trainer's own jitted collect, same program
+        # the superstep's first half runs)
+        params, _, belief_params, _ = train_state
+        collect_c, collect_flops = _aot(
+            trainer._collect, consts, params, belief_params, carry
+        )
+        c2, b2 = collect_c(consts, params, belief_params, carry)
+        jax.block_until_ready(b2.rewards)
+        collect_s = timeit(lambda: collect_c(consts, params, belief_params, carry))
+
+        # --- update only, on the superstep's own batch
+        def update_only(train_state, batch, key):
+            return trainer._update_ts(train_state, batch, key, lambda g: g)
+
+        upd = jax.jit(update_only)
+        upd_c, upd_flops = _aot(upd, train_state, batch, key)
+        out = upd_c(train_state, batch, key)
+        jax.block_until_ready(out[1]["value_loss"])
+        update_s = timeit(lambda: upd_c(train_state, batch, key))
+
+        # --- full superstep (non-donating timing: reuse same carry)
+        superstep_s = timeit(lambda: step_c(train_state, carry, key, consts))
+
+        if args.trace:
+            with jax.profiler.trace(args.trace):
+                out = step_c(train_state, carry, key, consts)
+                jax.block_until_ready(out[3]["value_loss"])
+
+        t_steps, num_envs = trainer.num_steps, trainer.env.num_envs
+        print(json.dumps({
+            "collect_s": round(collect_s, 4),
+            "update_s": round(update_s, 4),
+            "superstep_s": round(superstep_s, 4),
+            "collect_fps": round(t_steps * num_envs / collect_s, 1),
+            "superstep_fps": round(t_steps * num_envs / superstep_s, 1),
+            "xla_flops": {"collect": collect_flops, "update": upd_flops,
+                          "superstep": step_flops},
+            "num_envs": num_envs, "t_steps": t_steps,
+            "device": jax.devices()[0].device_kind,
+        }))
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
