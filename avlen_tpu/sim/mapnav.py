@@ -241,7 +241,9 @@ class BatchedMapNavEnv:
                 (last_obs, last_metrics),
             ), None
 
-        b = self.num_envs
+        # batch size from the traced operand, NOT self.num_envs: under
+        # shard_map this function sees the per-device shard (B/num_devices)
+        b = waypoint.shape[0]
         # derive the metric pytree structure from a traced step so the scan
         # carry matches whatever measures/trace keys the env is configured
         # with (record_pose_info adds agent_node/rot/scene/goal_node); the

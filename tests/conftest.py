@@ -20,11 +20,31 @@ _ALREADY_CLEAN = (
     or not os.environ.get("PALLAS_AXON_POOL_IPS")
 )
 
+
+def mesh_cpu_flags(flags: str, n_devices: int = 8) -> str:
+    """XLA_FLAGS for a virtual n-device CPU mesh on this 1-core host.
+
+    Besides forcing the device count, the XLA:CPU stuck-collective watchdog
+    (--xla_cpu_collective_call_terminate_timeout_seconds, default ~30s) must
+    be raised: with N virtual device threads time-slicing ONE core through a
+    heavy shard_map superstep, a device can legitimately sit in a collective
+    for minutes, and the watchdog SIGABRTs the process (the round-2/3 mesh
+    test aborts). Real multi-chip TPU runs are unaffected — these flags are
+    test/dryrun plumbing only."""
+    if "xla_force_host_platform_device_count" not in flags:
+        flags += f" --xla_force_host_platform_device_count={n_devices}"
+    if "collective_call_terminate_timeout" not in flags:
+        flags += (
+            " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+            " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+            " --xla_cpu_collective_timeout_seconds=3600"
+        )
+    return flags.strip()
+
+
 if _ALREADY_CLEAN:
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    os.environ["XLA_FLAGS"] = mesh_cpu_flags(os.environ.get("XLA_FLAGS", ""))
     os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 
@@ -40,9 +60,7 @@ def pytest_configure(config):
             "AVLEN_TESTS_REEXEC": "1",
         }
     )
-    flags = env.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    env["XLA_FLAGS"] = mesh_cpu_flags(env.get("XLA_FLAGS", ""))
     capman = config.pluginmanager.getplugin("capturemanager")
     if capman is not None:
         capman.stop_global_capturing()

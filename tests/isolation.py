@@ -45,9 +45,11 @@ def isolated(test_file: str):
                 "PALLAS_AXON_POOL_IPS": "",
                 "PALLAS_AXON_REMOTE_COMPILE": "",
             })
-            flags = env.get("XLA_FLAGS", "")
-            if "xla_force_host_platform_device_count" not in flags:
-                env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+            from tests.conftest import mesh_cpu_flags
+
+            # raised stuck-collective watchdog: 8 device threads on 1 core
+            # legitimately park in collectives for minutes (conftest docstring)
+            env["XLA_FLAGS"] = mesh_cpu_flags(env.get("XLA_FLAGS", ""))
             r = None
             for _ in range(2):
                 r = subprocess.run(
