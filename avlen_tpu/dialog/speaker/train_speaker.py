@@ -80,14 +80,18 @@ def train_speaker(
     pano_features=None,
     scheduled_sampling: bool = True,
     max_sample_prob: float = 0.5,
+    num_pairs: int | None = None,
 ):
     """``scheduled_sampling`` ramps the probability of feeding the model its
     own previous prediction from 0 to ``max_sample_prob`` over the first half
     of training (the reference's pure teacher forcing suffers exposure bias:
-    100% token accuracy, 0.77 BLEU at decode time)."""
+    100% token accuracy, 0.77 BLEU at decode time). ``num_pairs`` sizes the
+    sampled (path → instruction) supervision set — generalization to unseen
+    paths is data-bound well before it is capacity-bound."""
     vocab = Vocabulary()
     acts, feats, lens, words = build_dataset(
-        tables_list, vocab, max(batch * 8, 512), seed, pano_features=pano_features
+        tables_list, vocab, num_pairs or max(batch * 8, 512), seed,
+        pano_features=pano_features,
     )
     model = Seq2SeqSpeaker(
         vocab_size=len(vocab), hidden_size=hidden_size, max_decode_len=MAX_WORDS,

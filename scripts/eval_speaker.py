@@ -31,6 +31,8 @@ def main() -> None:
     p.add_argument("--side", type=int, default=6)
     p.add_argument("--pano", action="store_true", help="use panorama visual features")
     p.add_argument("--num-paths", type=int, default=200)
+    p.add_argument("--num-pairs", type=int, default=None,
+                   help="training pairs (default max(8*batch, 512))")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output", default="")
     args = p.parse_args()
@@ -64,7 +66,8 @@ def main() -> None:
         print(f"panorama feature bank: {pano.shape}")
 
     params, vocab, acc = train_speaker(
-        tables, num_steps=args.steps, pano_features=pano, seed=args.seed
+        tables, num_steps=args.steps, pano_features=pano, seed=args.seed,
+        num_pairs=args.num_pairs,
     )
     print(f"teacher-forced token accuracy: {acc:.3f}")
 
