@@ -456,6 +456,11 @@ def load_reference_episodes(
 
         info = raw.get("info") or {}
         dialog_raw = raw.get("dialog_node")
+        if isinstance(dialog_raw, (list, tuple)):
+            # dialog_approx datasets store the whole sub-instruction node
+            # path (generate_vln_episode.py:621); the language subgoal is
+            # its last node
+            dialog_raw = dialog_raw[-1] if dialog_raw else None
         episodes.append(
             Episode(
                 episode_id=str(raw.get("episode_id", len(episodes))),
