@@ -138,3 +138,61 @@ class Seq2SeqSpeaker(nn.Module):
             word = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             out.append(word)
         return jnp.stack(out, axis=1)
+
+    def beam_rollout(
+        self,
+        actions,
+        world_feats,
+        lengths,
+        bos_id: int,
+        eos_id: int,
+        beam_size: int = 4,
+        alpha: float = 0.6,
+    ):
+        """Batched beam-search decode with GNMT length normalization
+        (score / ((5+len)/6)^alpha). The reference speaker decodes greedily
+        (speaker.py:131-212); beam search is a quality improvement over it —
+        greedy decodes are recoverable as beam_size=1. Returns (B, T) ids of
+        each batch item's best-scoring finished hypothesis."""
+        ctx, carry = self.encode(actions, world_feats, lengths)
+        ctx_mask = (jnp.arange(ctx.shape[1])[None, :] < lengths[:, None]).astype(jnp.float32)
+        b, seq_l, _ = ctx.shape
+        k = beam_size
+        ctx_k = jnp.repeat(ctx, k, axis=0)  # (B*K, L, H)
+        mask_k = jnp.repeat(ctx_mask, k, axis=0)
+        hc = tuple(jnp.repeat(x, k, axis=0) for x in carry)  # each (B*K, H)
+        word = jnp.full((b * k,), bos_id, jnp.int32)
+        # Only beam 0 is live at t=0 so the K initial hypotheses differ.
+        scores = jnp.tile(
+            jnp.concatenate([jnp.zeros((1,)), jnp.full((k - 1,), -1e9)]).astype(jnp.float32),
+            (b, 1),
+        )  # (B, K)
+        finished = jnp.zeros((b, k), bool)
+        seqs = jnp.full((b, k, self.max_decode_len), eos_id, jnp.int32)
+        batch_off = jnp.arange(b)[:, None] * k  # (B, 1)
+
+        for t in range(self.max_decode_len):
+            hc, logits = self.decoder.step(hc, word, ctx_k, mask_k)  # (B*K, V)
+            v = logits.shape[-1]
+            logp = jax.nn.log_softmax(logits, axis=-1).reshape(b, k, v)
+            # A finished beam only extends with EOS at zero cost, freezing it.
+            eos_only = jnp.full((v,), -1e9, jnp.float32).at[eos_id].set(0.0)
+            logp = jnp.where(finished[..., None], eos_only[None, None, :], logp)
+            total = (scores[..., None] + logp).reshape(b, k * v)
+            scores, idx = jax.lax.top_k(total, k)  # (B, K)
+            beam_idx = idx // v
+            word_idx = (idx % v).astype(jnp.int32)
+            flat_src = (batch_off + beam_idx).reshape(-1)  # into B*K
+            hc = tuple(x[flat_src] for x in hc)
+            seqs = jnp.take_along_axis(seqs, beam_idx[..., None], axis=1)
+            finished = jnp.take_along_axis(finished, beam_idx, axis=1)
+            seqs = seqs.at[:, :, t].set(word_idx)
+            finished = finished | (word_idx == eos_id)
+            word = word_idx.reshape(b * k)
+
+        is_eos = seqs == eos_id
+        has_eos = is_eos.any(-1)
+        hyp_len = jnp.where(has_eos, jnp.argmax(is_eos, axis=-1) + 1, self.max_decode_len)
+        norm = ((5.0 + hyp_len.astype(jnp.float32)) / 6.0) ** alpha
+        best = jnp.argmax(scores / norm, axis=1)
+        return jnp.take_along_axis(seqs, best[:, None, None], axis=1)[:, 0, :]

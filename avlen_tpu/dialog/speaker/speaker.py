@@ -28,6 +28,8 @@ from avlen_tpu.dialog.speaker.templates import generate_template_instruction
 from avlen_tpu.dialog.speaker.vocab import Vocabulary
 
 MAX_PATH_LEN = 16
+GEOM_DIM = 8  # per-step geometry features
+NUM_CATEGORIES = 21  # optional goal-category conditioning block
 
 
 class Speaker:
@@ -39,6 +41,7 @@ class Speaker:
         neural_params=None,
         hidden_size: int = 256,
         pano_features=None,
+        beam_size: int = 1,
     ):
         """``pano_features``: optional (S, N, 4, D) visual feature bank from
         pano_features.precompute_panorama_features — the counterpart of the
@@ -50,7 +53,13 @@ class Speaker:
         self.vocab = vocab or Vocabulary()
         self.neural_params = neural_params
         self.pano = np.asarray(pano_features) if pano_features is not None else None
-        self.feat_dim = 8 + (self.pano.shape[-1] if self.pano is not None else 0)
+        # geometry ⊕ goal-category one-hot (zeros when the item carries no
+        # category — path-only instructions, the reference's R2R speaker
+        # regime) ⊕ optional panorama view features
+        self.feat_dim = GEOM_DIM + NUM_CATEGORIES + (
+            self.pano.shape[-1] if self.pano is not None else 0
+        )
+        self.beam_size = int(beam_size)
         self._model = None
         self._rollout_jit = None
         if backend == "neural":
@@ -71,18 +80,30 @@ class Speaker:
                 jax.random.key(0), acts, feats, np.ones((1,), np.int32),
                 self.vocab.bos_id, self.vocab.eos_id, method=Seq2SeqSpeaker.rollout,
             )
-        self._rollout_jit = jax.jit(
-            lambda p, a, f, l: self._model.apply(
-                p, a, f, l, self.vocab.bos_id, self.vocab.eos_id, method=Seq2SeqSpeaker.rollout
+        if self.beam_size > 1:
+            self._rollout_jit = jax.jit(
+                lambda p, a, f, l: self._model.apply(
+                    p, a, f, l, self.vocab.bos_id, self.vocab.eos_id,
+                    self.beam_size, method=Seq2SeqSpeaker.beam_rollout,
+                )
             )
-        )
+        else:
+            self._rollout_jit = jax.jit(
+                lambda p, a, f, l: self._model.apply(
+                    p, a, f, l, self.vocab.bos_id, self.vocab.eos_id, method=Seq2SeqSpeaker.rollout
+                )
+            )
 
     # ------------------------------------------------------------------
-    def path_features(self, scene: int, path: Sequence[int], heading_deg: int):
+    def path_features(self, scene: int, path: Sequence[int], heading_deg: int,
+                      category: Optional[int] = None):
         """Per-step (action ids, world features) for the neural speaker.
         With a panorama bank, each step's feature is geometry ⊕ the view
         feature of the node being left, aligned to the walking direction
-        (R2R env heading-aligned feature selection, env.py:155-235)."""
+        (R2R env heading-aligned feature selection, env.py:155-235).
+        ``category``: optional goal category id — conditions the landmark
+        phrasing of the template channel ("to reach the <category>"); when
+        None the one-hot block stays zero (path-only instructions)."""
         pos = self.positions[scene]
         acts = np.zeros((MAX_PATH_LEN,), np.int32)
         feats = np.zeros((MAX_PATH_LEN, self.feat_dim), np.float32)
@@ -99,11 +120,13 @@ class Speaker:
             feats[n, 3] = np.cos(np.deg2rad(direction))
             feats[n, 4] = np.sin(np.deg2rad(direction))
             feats[n, 5] = n / MAX_PATH_LEN
+            if category is not None and 0 <= int(category) < NUM_CATEGORIES:
+                feats[n, GEOM_DIM + int(category)] = 1.0
             if self.pano is not None:
                 from avlen_tpu.dialog.speaker.pano_features import heading_to_rot_index
 
                 rot = int(heading_to_rot_index(direction))
-                feats[n, 8:] = self.pano[scene, a, rot]
+                feats[n, GEOM_DIM + NUM_CATEGORIES:] = self.pano[scene, a, rot]
             orient = direction
             n += 1
         return acts, feats, max(n, 1)
@@ -129,7 +152,7 @@ class Speaker:
         lens = np.zeros((len(batch),), np.int32)
         for i, item in enumerate(batch):
             acts[i], feats[i], lens[i] = self.path_features(
-                item["scene"], item["path"], int(item["heading"])
+                item["scene"], item["path"], int(item["heading"]), item.get("category")
             )
         ids = np.asarray(self._rollout_jit(self.neural_params, acts, feats, lens))
         for i in range(len(batch)):

@@ -62,8 +62,13 @@ def build_dataset(
         rot = rng.randint(4)
         heading = (270 - rot * 90) % 360
         path = shortest_path_prefix(t, a, b, max_len=MAX_PATH_LEN)
-        instr = generate_template_instruction(t.positions, path, heading)
-        acts[i], feats[i], lens[i] = speaker.path_features(s, path, heading)
+        # half the pairs are category-conditioned ("to reach the <cat>"),
+        # half path-only ("and stop there") — the model must serve both
+        # regimes (production instruction banks are path-only; the BLEU
+        # harness and semantic episodes condition on the goal category)
+        category = int(rng.randint(21)) if rng.rand() < 0.5 else None
+        instr = generate_template_instruction(t.positions, path, heading, category)
+        acts[i], feats[i], lens[i] = speaker.path_features(s, path, heading, category)
         words[i] = vocab.encode(instr, MAX_WORDS)
         i += 1
     return acts[:i], feats[:i], lens[:i], words[:i]

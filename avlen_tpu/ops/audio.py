@@ -146,22 +146,28 @@ def _conv_fft_len(out_len: int, max_rir_len: int) -> int:
     return n
 
 
-def _convolve_from_fft(seg_f: jax.Array, rir: jax.Array, sampling_rate: int, fft_len: int) -> jax.Array:
-    """(B, F) segment rFFTs × (B, L, 2) RIRs → (B, 2, sr) valid windows."""
-    l = rir.shape[1]
-    rir_f = jnp.fft.rfft(rir.astype(jnp.float32), n=fft_len, axis=1)  # (B, F, 2)
+def _convolve_from_fft(
+    seg_f: jax.Array,
+    rir_f: jax.Array,
+    rir_len: int,
+    sampling_rate: int,
+    fft_len: int,
+) -> jax.Array:
+    """(B, F) segment rFFTs × (B, F, 2) RIR rFFTs → (B, 2, sr) valid windows."""
     conv = jnp.fft.irfft(seg_f[:, :, None] * rir_f, n=fft_len, axis=1)  # (B, fft_len, 2)
-    valid = jax.lax.dynamic_slice_in_dim(conv, l - 1, sampling_rate, axis=1)
+    valid = jax.lax.dynamic_slice_in_dim(conv, rir_len - 1, sampling_rate, axis=1)
     return valid.swapaxes(1, 2)  # (B, 2, sr)
 
 
-@functools.partial(jax.jit, static_argnames=("sampling_rate",))
+@functools.partial(jax.jit, static_argnames=("sampling_rate", "rir_len"))
 def binaural_convolve(
     sound_padded: jax.Array,
     window_start: jax.Array,
-    rir: jax.Array,
+    rir: jax.Array | None,
     sampling_rate: int,
     seg_f: jax.Array | None = None,
+    rir_f: jax.Array | None = None,
+    rir_len: int | None = None,
 ) -> jax.Array:
     """One 1-second binaural window of RIR-convolved source audio, batched.
 
@@ -170,15 +176,19 @@ def binaural_convolve(
         (L = padded RIR length); S is the padded sound length in samples.
       window_start: (B,) int32 second-index × sampling_rate into the *unpadded*
         sound (the reference's ``self._audio_index * sampling_rate``).
-      rir: (B, L, 2) trailing-zero-padded binaural RIRs.
+      rir: (B, L, 2) trailing-zero-padded binaural RIRs (None when ``rir_f``
+        is supplied instead).
       sampling_rate: output samples per window.
       seg_f: optional precomputed (B, F) segment rFFTs (SceneBank
         sound_fft_bank gathers) — skips the per-step segment gather + rFFT.
+      rir_f: optional (B, F) × 2-channel complex RIR spectra at the
+        convolution FFT length (ProceduralRIRBank.gather_fft) — skips the
+        per-step RIR rFFT entirely; requires static ``rir_len`` (= L).
 
     Returns: (B, 2, sampling_rate) audio, equal to the reference's
     ``_compute_audiogoal`` branches (simulator.py:659-680) for every window.
     """
-    b, l, _ = rir.shape
+    l = int(rir.shape[1]) if rir is not None else int(rir_len)
     seg_len = sampling_rate + l - 1
     fft_len = _conv_fft_len(sampling_rate, l)
 
@@ -189,14 +199,18 @@ def binaural_convolve(
         idx = jnp.clip(idx, 0, sound_padded.shape[-1] - 1)
         seg = jnp.take_along_axis(sound_padded, idx, axis=-1)  # (B, seg_len)
         seg_f = jnp.fft.rfft(seg.astype(jnp.float32), n=fft_len, axis=-1)  # (B, F)
-    return _convolve_from_fft(seg_f, rir, sampling_rate, fft_len)
+    if rir_f is None:
+        rir_f = jnp.fft.rfft(rir.astype(jnp.float32), n=fft_len, axis=1)  # (B, F, 2)
+    return _convolve_from_fft(seg_f, rir_f, l, sampling_rate, fft_len)
 
 
-@functools.partial(jax.jit, static_argnames=("sampling_rate", "config", "has_distractor"))
+@functools.partial(
+    jax.jit, static_argnames=("sampling_rate", "config", "has_distractor", "rir_len")
+)
 def render_audiogoal(
     sound_padded: jax.Array,
     audio_index: jax.Array,
-    rir: jax.Array,
+    rir: jax.Array | None,
     active: jax.Array,
     sampling_rate: int,
     distractor_sound_padded: jax.Array | None = None,
@@ -205,6 +219,9 @@ def render_audiogoal(
     config: SpectrogramConfig | None = None,
     seg_f: jax.Array | None = None,
     distractor_seg_f: jax.Array | None = None,
+    rir_f: jax.Array | None = None,
+    distractor_rir_f: jax.Array | None = None,
+    rir_len: int | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Full audio observation for a batch of envs: audio waveform + spectrogram.
 
@@ -212,16 +229,20 @@ def render_audiogoal(
     (reference emits silence then, simulator.py:646-649). The distractor, when
     present, always renders its first second (simulator.py:682-697) and is
     added to the goal audio. ``seg_f``/``distractor_seg_f``: optional
-    precomputed segment rFFTs (SceneBank.sound_fft_bank).
+    precomputed segment rFFTs (SceneBank.sound_fft_bank);
+    ``rir_f``/``distractor_rir_f`` (+ static ``rir_len``): optional analytic
+    RIR spectra (ProceduralRIRBank.gather_fft) replacing the time-domain RIRs.
     """
     cfg = config or SpectrogramConfig(sampling_rate=sampling_rate)
     start = audio_index * sampling_rate
-    audio = binaural_convolve(sound_padded, start, rir, sampling_rate, seg_f=seg_f)
+    audio = binaural_convolve(
+        sound_padded, start, rir, sampling_rate, seg_f=seg_f, rir_f=rir_f, rir_len=rir_len
+    )
     if has_distractor:
         dstart = jnp.zeros_like(start)
         audio = audio + binaural_convolve(
             distractor_sound_padded, dstart, distractor_rir, sampling_rate,
-            seg_f=distractor_seg_f,
+            seg_f=distractor_seg_f, rir_f=distractor_rir_f, rir_len=rir_len,
         )
     audio = jnp.where(active[:, None, None], audio, 0.0)
     spec = spectrogram_from_audiogoal(audio, cfg)

@@ -130,6 +130,9 @@ class EnvConfig:
     # EgoMap sensor geometry (nav.py:236-406 MAP_SIZE/MAP_RESOLUTION)
     egomap_size: int = 31
     egomap_resolution: float = 0.5
+    # fused Pallas spectrogram kernel (ops/pallas_spectrogram.py): None =
+    # auto (on when the default backend is TPU), True/False = forced
+    pallas_spectrogram: Optional[bool] = None
 
 
 class BatchedAudioNavEnv:
@@ -144,7 +147,15 @@ class BatchedAudioNavEnv:
         self.config = config
         self.eps = {k: jnp.asarray(v) for k, v in packed.items()}
         self.num_envs = int(packed["order"].shape[0])
-        self.spec_config = SpectrogramConfig(sampling_rate=bank.sampling_rate)
+        use_pallas = config.pallas_spectrogram
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self.spec_config = SpectrogramConfig(
+            sampling_rate=bank.sampling_rate, use_pallas=bool(use_pallas)
+        )
+        # procedural RIR providers serve analytic spectra (no per-step rFFT)
+        if hasattr(bank.rir, "ensure_tables"):
+            bank.rir.ensure_tables()
         if "semantic_object" in config.sensors and bank.semantic is not None:
             from avlen_tpu.sim.mp3d_utils import mp3d_id_to_task_id
 
@@ -475,7 +486,14 @@ class BatchedAudioNavEnv:
             obs["spectrogram"] = spec.astype(jnp.float32) * active[:, None, None, None]
         elif "spectrogram" in sensors or "audiogoal" in sensors:
             az = (4 - state.rot) % 4  # azimuth = -rotation (simulator.py:600-604)
-            rir = bank.rir.gather(state.scene, az, state.node, state.goal_node)
+            # analytic frequency-domain RIRs (ProceduralRIRBank.gather_fft)
+            # skip the per-step length-2^n rFFT; exactly rfft(gather(...))
+            use_fft = getattr(bank.rir, "tail_fft", None) is not None
+            rir = rir_f = None
+            if use_fft:
+                rir_f = bank.rir.gather_fft(state.scene, az, state.node, state.goal_node)
+            else:
+                rir = bank.rir.gather(state.scene, az, state.node, state.goal_node)
             sound_padded = bank.sounds_padded[state.sound]
             secs = bank.sound_secs[state.sound]
             # the sound starts at the episode's offset (episode.offset seconds
@@ -493,21 +511,25 @@ class BatchedAudioNavEnv:
                     state.sound, jnp.clip(audio_index, 0, s_max - 1)
                 ]
             if cfg.has_distractor:
-                drir = bank.rir.gather(
-                    state.scene, az, state.node, jnp.maximum(state.distractor_node, 0)
-                )
-                has = (state.distractor_node >= 0)[:, None, None].astype(drir.dtype)
+                dnode = jnp.maximum(state.distractor_node, 0)
+                has = (state.distractor_node >= 0)[:, None, None]
                 dsound = jnp.maximum(state.distractor_sound, 0)
+                if use_fft:
+                    drir_f = bank.rir.gather_fft(state.scene, az, state.node, dnode)
+                    dargs["distractor_rir_f"] = drir_f * has.astype(drir_f.dtype)
+                else:
+                    drir = bank.rir.gather(state.scene, az, state.node, dnode)
+                    dargs["distractor_rir"] = drir * has.astype(drir.dtype)
                 dargs.update(
                     distractor_sound_padded=bank.sounds_padded[dsound],
-                    distractor_rir=drir * has,
                     has_distractor=True,
                 )
                 if bank.sound_fft_bank is not None:
                     dargs["distractor_seg_f"] = bank.sound_fft_bank[dsound, 0]
             audio, spec = render_audiogoal(
                 sound_padded, audio_index, rir, active, bank.sampling_rate,
-                config=self.spec_config, **dargs,
+                config=self.spec_config, rir_f=rir_f,
+                rir_len=(bank.rir.length if use_fft else None), **dargs,
             )
             if "audiogoal" in sensors:
                 obs["audiogoal"] = audio

@@ -46,7 +46,28 @@ class DenseRIRBank:
 
 @dataclasses.dataclass
 class ProceduralRIRBank:
-    """Deterministic on-device RIR synthesis from scene geometry."""
+    """Deterministic on-device RIR synthesis from scene geometry.
+
+    An RIR is direct-path impulses (distance delay + ILD/ITD binaural cues)
+    plus one of ``num_tails`` precomputed exponentially-decaying noise tails,
+    circularly shifted to the direct-path delay and scaled by a per-pair
+    deterministic jitter. Because the tail bank stores both the time-domain
+    tails (``tail_noise``) and their rFFTs at the convolution length
+    (``tail_fft``), the provider serves BOTH representations:
+
+    * ``gather``     → (B, L, 2) time-domain RIRs (dense-bank interface), and
+    * ``gather_fft`` → (B, F, 2) complex spectra, *exactly* equal to
+      ``rfft(gather(...), n=fft_len)`` but with no per-step FFT: the delay
+      shift is an analytic phase ramp and the tail spectrum is a table
+      lookup. The per-step audio path (ops/audio.binaural_convolve) then
+      skips the length-2^n rFFT of the RIR entirely — the TPU counterpart of
+      the reference's per-step scipy fftconvolve cost
+      (soundspaces/simulator.py:644-699).
+
+    Tail support is truncated to ``length - delay_cap`` samples so the delay
+    shift always stays inside the (B, L, 2) time-domain window — this is what
+    makes the two representations bit-equivalent (up to float roundoff).
+    """
 
     positions: jax.Array  # (S, N, 3)
     length: int
@@ -54,9 +75,54 @@ class ProceduralRIRBank:
     seed: int = 0
     tail_scale: float = 0.05
     tail_tau_s: float = 0.15
+    num_tails: int = 64
+    tail_noise: Optional[jax.Array] = None  # (P, L, 2) envelope-weighted tails
+    tail_fft: Optional[jax.Array] = None  # (P, F, 2) complex64 rFFTs at fft_len
+    itd_phase: Optional[jax.Array] = None  # (itd_cap+1, F) complex64 phase ramps
 
-    def gather(self, scene, az_idx, recv, src):
-        """(B,) indices → (B, L, 2) RIRs."""
+    @property
+    def delay_cap(self) -> int:
+        return min(self.length // 4, 4096)
+
+    @property
+    def itd_cap(self) -> int:
+        return int(0.0008 * self.sampling_rate) + 1
+
+    @property
+    def fft_len(self) -> int:
+        from avlen_tpu.ops.audio import _conv_fft_len
+
+        return _conv_fft_len(self.sampling_rate, self.length)
+
+    def ensure_tables(self) -> "ProceduralRIRBank":
+        """Populate the tail/phase tables (idempotent; call OUTSIDE jit)."""
+        if self.tail_fft is not None:
+            return self
+        n = self.fft_len
+        support = self.length - self.delay_cap
+        tau = self.tail_tau_s * self.sampling_rate
+
+        @jax.jit
+        def build():
+            keys = jax.vmap(
+                lambda i: jax.random.fold_in(jax.random.key(self.seed), i)
+            )(jnp.arange(self.num_tails))
+            noise = jax.vmap(lambda kk: jax.random.normal(kk, (self.length, 2)))(keys)
+            j = jnp.arange(self.length)[None, :, None].astype(jnp.float32)
+            env = jnp.exp(-j / tau) * (j < support)
+            tails = noise * env  # (P, L, 2)
+            tfft = jnp.fft.rfft(tails, n=n, axis=1).astype(jnp.complex64)
+            offs = jnp.arange(self.itd_cap + 1)[:, None]
+            f = jnp.arange(n // 2 + 1)[None, :]
+            ang = -2.0 * jnp.pi * ((offs * f) % n).astype(jnp.float32) / n
+            iph = jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
+            return tails, tfft, iph
+
+        self.tail_noise, self.tail_fft, self.itd_phase = build()
+        return self
+
+    def _geometry(self, scene, az_idx, recv, src):
+        """Shared per-pair acoustics: gains, amplitude, delays, tail id/jitter."""
         pos = self.positions
         p_r = pos[scene, recv]  # (B, 3)
         p_s = pos[scene, src]
@@ -74,31 +140,60 @@ class ProceduralRIRBank:
         g_l = 0.6 + 0.35 * sin_rel + 0.05 * cos_rel
         g_r = 0.6 - 0.35 * sin_rel + 0.05 * cos_rel
         amp = 1.0 / jnp.maximum(dist, 0.3)
-        delay = jnp.minimum(
-            (dist / SPEED_OF_SOUND * self.sampling_rate).astype(jnp.int32), self.length - 40
+        delay = jnp.clip(
+            (dist / SPEED_OF_SOUND * self.sampling_rate).astype(jnp.int32), 0, self.delay_cap
         )
-        itd = (sin_rel * 0.0008 * self.sampling_rate).astype(jnp.int32)  # ±~0.8 ms
+        itd = jnp.clip(
+            (sin_rel * 0.0008 * self.sampling_rate).astype(jnp.int32),
+            -self.itd_cap, self.itd_cap,
+        )  # ±~0.8 ms
+
+        pair_id = (scene.astype(jnp.uint32) * jnp.uint32(1_000_003)
+                   + recv.astype(jnp.uint32) * jnp.uint32(1009)
+                   + src.astype(jnp.uint32))
+        tail_id = (pair_id % jnp.uint32(self.num_tails)).astype(jnp.int32)
+        h = pair_id * jnp.uint32(2654435761)
+        jitter = 0.75 + 0.5 * (h.astype(jnp.float32) / jnp.float32(2**32))
+        return g_l, g_r, amp, delay, itd, tail_id, jitter
+
+    def gather(self, scene, az_idx, recv, src):
+        """(B,) indices → (B, L, 2) time-domain RIRs."""
+        assert self.tail_noise is not None, "call ensure_tables() after construction"
+        g_l, g_r, amp, delay, itd, tail_id, jitter = self._geometry(scene, az_idx, recv, src)
 
         k = jnp.arange(self.length)[None, :]  # (1, L)
         direct_l = (k == (delay + jnp.maximum(-itd, 0))[:, None]).astype(jnp.float32)
         direct_r = (k == (delay + jnp.maximum(itd, 0))[:, None]).astype(jnp.float32)
 
-        # deterministic reverb tail per (scene, recv, src)
-        base = jax.random.key(self.seed)
-        pair_id = (scene.astype(jnp.uint32) * jnp.uint32(1_000_003)
-                   + recv.astype(jnp.uint32) * jnp.uint32(1009)
-                   + src.astype(jnp.uint32))
-        keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(pair_id)
-        noise = jax.vmap(lambda kk: jax.random.normal(kk, (self.length, 2)))(keys)
-        tau = self.tail_tau_s * self.sampling_rate
-        envelope = jnp.exp(-(k - delay[:, None]).astype(jnp.float32) / tau)
-        envelope = jnp.where(k >= delay[:, None], envelope, 0.0)
-        tail = noise * envelope[:, :, None] * self.tail_scale * amp[:, None, None]
+        base = self.tail_noise[tail_id]  # (B, L, 2)
+        j = k - delay[:, None]  # (B, L)
+        shifted = jnp.take_along_axis(
+            base, jnp.clip(j, 0, self.length - 1)[..., None], axis=1
+        ) * (j >= 0)[..., None]
+        tail = shifted * (jitter * self.tail_scale * amp)[:, None, None]
 
         rir = tail
         rir = rir.at[:, :, 0].add(direct_l * (amp * g_l)[:, None])
         rir = rir.at[:, :, 1].add(direct_r * (amp * g_r)[:, None])
         return rir
+
+    def gather_fft(self, scene, az_idx, recv, src):
+        """(B,) indices → (B, F, 2) complex64 == rfft(gather(...), fft_len)."""
+        assert self.tail_fft is not None, "call ensure_tables() after construction"
+        g_l, g_r, amp, delay, itd, tail_id, jitter = self._geometry(scene, az_idx, recv, src)
+        n = self.fft_len
+        f = jnp.arange(n // 2 + 1, dtype=jnp.int32)[None, :]  # (1, F)
+        # exact int phase index: delay ≤ delay_cap ≤ 4096 keeps f*delay < 2^31
+        ang = -2.0 * jnp.pi * ((delay[:, None] * f) % n).astype(jnp.float32) / n
+        ph = jax.lax.complex(jnp.cos(ang), jnp.sin(ang))  # (B, F) e^{-iω·delay}
+        ph_l = ph * self.itd_phase[jnp.maximum(-itd, 0)]
+        ph_r = ph * self.itd_phase[jnp.maximum(itd, 0)]
+        tail = self.tail_fft[tail_id] * (ph * (jitter * self.tail_scale * amp)[:, None])[
+            :, :, None
+        ]  # (B, F, 2)
+        out_l = tail[:, :, 0] + (amp * g_l)[:, None] * ph_l
+        out_r = tail[:, :, 1] + (amp * g_r)[:, None] * ph_r
+        return jnp.stack([out_l, out_r], axis=-1)
 
 
 @dataclasses.dataclass
@@ -168,9 +263,17 @@ def precompute_spectrogram_bank(
     if total > max_bytes:
         return None
 
+    use_fft = getattr(bank.rir, "tail_fft", None) is not None
+
     @jax.jit
     def render(scene, sound, az, recv, src):
-        rir = bank.rir.gather(scene, az, recv, src)
+        kw = {}
+        if use_fft:  # same analytic path the live env takes (sim/env.py)
+            kw = dict(rir_f=bank.rir.gather_fft(scene, az, recv, src),
+                      rir_len=bank.rir.length)
+            rir = None
+        else:
+            rir = bank.rir.gather(scene, az, recv, src)
         _, spec = render_audiogoal(
             bank.sounds_padded[sound],
             jnp.zeros_like(sound),
@@ -178,6 +281,7 @@ def precompute_spectrogram_bank(
             jnp.ones(sound.shape, bool),
             bank.sampling_rate,
             config=cfg,
+            **kw,
         )
         return spec.astype(dtype)
 
@@ -220,15 +324,16 @@ def _register_pytrees() -> None:
     )
 
     def _proc_flatten(b: ProceduralRIRBank):
-        aux = (b.length, b.sampling_rate, b.seed, b.tail_scale, b.tail_tau_s)
-        return (b.positions,), aux
+        aux = (b.length, b.sampling_rate, b.seed, b.tail_scale, b.tail_tau_s, b.num_tails)
+        return (b.positions, b.tail_noise, b.tail_fft, b.itd_phase), aux
 
     def _proc_unflatten(aux, ch):
-        length, sr, seed, ts, tt = aux
-        return ProceduralRIRBank(
-            positions=ch[0], length=length, sampling_rate=sr, seed=seed,
-            tail_scale=ts, tail_tau_s=tt,
-        )
+        length, sr, seed, ts, tt, nt = aux
+        bank = object.__new__(ProceduralRIRBank)
+        bank.positions, bank.tail_noise, bank.tail_fft, bank.itd_phase = ch
+        bank.length, bank.sampling_rate, bank.seed = length, sr, seed
+        bank.tail_scale, bank.tail_tau_s, bank.num_tails = ts, tt, nt
+        return bank
 
     jax.tree_util.register_pytree_node(ProceduralRIRBank, _proc_flatten, _proc_unflatten)
 

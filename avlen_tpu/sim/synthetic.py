@@ -227,7 +227,7 @@ def make_scene_bank(
         sound_secs=jnp.asarray(secs),
         rir=ProceduralRIRBank(
             positions=tables["positions"], length=rir_length, sampling_rate=sampling_rate
-        ),
+        ).ensure_tables(),
         rgb=rgb,
         depth=depth,
         semantic=semantic,

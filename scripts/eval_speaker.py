@@ -34,6 +34,7 @@ def main() -> None:
     p.add_argument("--num-pairs", type=int, default=None,
                    help="training pairs (default max(8*batch, 512))")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--beam", type=int, default=1, help="beam size (1 = greedy)")
     p.add_argument("--output", default="")
     args = p.parse_args()
 
@@ -73,13 +74,14 @@ def main() -> None:
 
     neural = Speaker(
         [t.positions for t in tables], backend="neural", vocab=vocab,
-        neural_params=params, pano_features=pano,
+        neural_params=params, pano_features=pano, beam_size=args.beam,
     )
     template = Speaker([t.positions for t in tables], backend="template", vocab=vocab)
     res = evaluate_neural_vs_template(
         neural, template, tables, num_paths=args.num_paths, seed=args.seed + 1
     )
     res["token_acc"] = acc
+    res["beam_size"] = args.beam
     print("speaker eval:", json.dumps(res))
     if args.output:
         os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)

@@ -96,13 +96,17 @@ def test_panorama_feature_bank_and_speaker_integration():
     spk = Speaker(
         [t.positions for t in tables], backend="neural", vocab=vocab, pano_features=pano
     )
-    assert spk.feat_dim == 8 + pano.shape[-1]
+    from avlen_tpu.dialog.speaker.speaker import GEOM_DIM, NUM_CATEGORIES
+
+    assert spk.feat_dim == GEOM_DIM + NUM_CATEGORIES + pano.shape[-1]
     acts, feats, ln = spk.path_features(0, [0, 1, 2], 270)
     assert feats.shape[1] == spk.feat_dim
     # visual slice of step 0 equals the walked-direction view of node 0
     p = tables[0].positions
     d = int(np.around(np.rad2deg(np.arctan2(p[1][2] - p[0][2], p[1][0] - p[0][0])))) % 360
-    np.testing.assert_allclose(feats[0, 8:], pano[0, 0, int(heading_to_rot_index(d))])
+    np.testing.assert_allclose(
+        feats[0, GEOM_DIM + NUM_CATEGORIES:], pano[0, 0, int(heading_to_rot_index(d))]
+    )
     out = spk.generate_instr([{"heading": 270, "scene": 0, "path": [0, 1, 2]}])
     assert isinstance(out[0]["words"], list)
 
@@ -134,3 +138,68 @@ def test_evaluate_speaker_reports_corpus_stats():
     refs = [[spk.generate_instr(items)[0]["words"]]]
     res = evaluate_speaker(spk, items, refs)
     assert set(res) == {"bleu", "avg_len", "num"} and res["bleu"] == pytest.approx(1.0)
+
+
+def test_beam_rollout_beam1_matches_greedy_and_beam4_decodes():
+    """beam_rollout(beam_size=1) must reproduce the greedy decode exactly;
+    a wider beam must return hypotheses whose total log-probability is at
+    least the greedy one's (beam search can only improve model score)."""
+    import jax
+    import jax.numpy as jnp
+
+    from avlen_tpu.dialog.speaker.model import Seq2SeqSpeaker
+
+    vocab = Vocabulary()
+    model = Seq2SeqSpeaker(vocab_size=len(vocab), hidden_size=32, world_feat_dim=8,
+                           max_decode_len=12)
+    rng = np.random.RandomState(3)
+    b, l = 4, 6
+    acts = jnp.asarray(rng.randint(0, 5, (b, l)), jnp.int32)
+    feats = jnp.asarray(rng.randn(b, l, 8), jnp.float32)
+    lens = jnp.asarray([l, l - 1, 3, 1], jnp.int32)
+    params = model.init(jax.random.key(0), acts, feats, lens, vocab.bos_id,
+                        vocab.eos_id, method=Seq2SeqSpeaker.rollout)
+
+    greedy = model.apply(params, acts, feats, lens, vocab.bos_id, vocab.eos_id,
+                         method=Seq2SeqSpeaker.rollout)
+    beam1 = model.apply(params, acts, feats, lens, vocab.bos_id, vocab.eos_id, 1,
+                        method=Seq2SeqSpeaker.beam_rollout)
+    # greedy pads beyond EOS with argmax continuations; compare up to first EOS
+    def upto_eos(ids):
+        out = []
+        for row in np.asarray(ids):
+            stop = np.where(row == vocab.eos_id)[0]
+            out.append(tuple(row[: stop[0] + 1] if len(stop) else row))
+        return out
+
+    assert upto_eos(beam1) == upto_eos(greedy)
+
+    beam4 = model.apply(params, acts, feats, lens, vocab.bos_id, vocab.eos_id, 4,
+                        method=Seq2SeqSpeaker.beam_rollout)
+    assert beam4.shape == (b, 12)
+
+    def seq_logp(ids):
+        """Total log-prob of each decoded sequence under teacher forcing."""
+        bos = jnp.full((b, 1), vocab.bos_id, jnp.int32)
+        inp = jnp.concatenate([bos, jnp.asarray(ids)[:, :-1]], axis=1)
+        logits = model.apply(params, acts, feats, lens, inp,
+                             method=Seq2SeqSpeaker.teacher_logits)
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        tok = jnp.take_along_axis(lp, jnp.asarray(ids)[..., None], axis=-1)[..., 0]
+        # mask past first EOS (inclusive)
+        arr = np.asarray(ids)
+        mask = np.zeros_like(arr, np.float32)
+        for i, row in enumerate(arr):
+            stop = np.where(row == vocab.eos_id)[0]
+            mask[i, : (stop[0] + 1 if len(stop) else arr.shape[1])] = 1.0
+        return np.asarray((tok * mask).sum(axis=1))
+
+    assert (seq_logp(beam4) >= seq_logp(beam1) - 1e-4).all()
+
+
+def test_speaker_pipeline_beam_backend():
+    tables = _tables()
+    spk = Speaker([t.positions for t in tables], backend="neural", beam_size=3)
+    items = [{"heading": 270, "scene": 0, "path": [0, 1, 2]}]
+    outs = spk.generate_instr(items)
+    assert len(outs) == 1 and isinstance(outs[0]["words"], list)
