@@ -35,8 +35,20 @@ def _bound(binder, consts):
     return binder.bind(consts) if binder is not None else contextlib.nullcontext()
 
 
+def _buffer_key(x: jax.Array):
+    """Identity of the underlying device buffer(s), not the Array object:
+    device_put no-ops and output aliasing can hand back DISTINCT Array
+    objects sharing one buffer, which id() cannot see."""
+    try:
+        return tuple(
+            s.data.unsafe_buffer_pointer() for s in x.addressable_shards
+        )
+    except Exception:
+        return id(x)
+
+
 def _dedupe_buffers(tree):
-    """Copy repeated array objects so a donated pytree holds each buffer at
+    """Copy repeated buffers so a donated pytree holds each device buffer at
     most once (XLA rejects donating the same buffer twice; freshly-built
     carries sometimes share a zeros array across leaves). After the first
     superstep the outputs are distinct buffers, so this is a no-op."""
@@ -44,9 +56,10 @@ def _dedupe_buffers(tree):
 
     def f(x):
         if isinstance(x, jax.Array):
-            if id(x) in seen:
+            k = _buffer_key(x)
+            if k in seen:
                 return jnp.copy(x)
-            seen.add(id(x))
+            seen.add(k)
         return x
 
     return jax.tree.map(f, tree)
@@ -59,6 +72,32 @@ def _donating(step_fn):
         return step_fn(train_state, _dedupe_buffers(carry), key, consts)
 
     wrapped._jitted = step_fn  # AOT lower/compile access (bench.py)
+    return wrapped
+
+
+def _stable_call(jitted, put, donate: bool):
+    """Commit every superstep argument to its target placement before the
+    jitted call so the input-sharding signature is IDENTICAL across updates.
+
+    Without this, update 0 passes host-built (uncommitted) args, update 1
+    mixes in the committed leaf `refresh_ep_order` device_puts, and update 2
+    passes the fully-committed donation outputs — three distinct sharding
+    signatures, and pjit recompiles the superstep for each (observed: one
+    ~60-500 s XLA compile per update on every trainer). ``put`` device_puts
+    the (train_state, carry, key, consts) tuple; device_put is a no-op for
+    leaves already placed, so steady-state overhead is one tree traversal."""
+
+    def wrapped(train_state, carry, key, consts=None):
+        # dedupe BEFORE the puts: device_put may return a fresh Array object
+        # for an already-placed leaf, so two identical-object leaves can turn
+        # into distinct objects sharing one buffer — invisible to the
+        # id-based dedupe, and XLA rejects donating one buffer twice
+        if donate:
+            carry = _dedupe_buffers(carry)
+        train_state, carry, key, consts = put(train_state, carry, key, consts)
+        return jitted(train_state, carry, key, consts)
+
+    wrapped._jitted = jitted  # AOT lower/compile access (bench.py)
     return wrapped
 
 
@@ -150,15 +189,21 @@ def make_sharded_superstep(
             out_specs=(P(), carry_spec, batch_spec, P()),
             check_vma=False,
         )
-        jitted = jax.jit(step, **donate_kw)
-        if donate:
-            orig = jitted
+        jitted3 = jax.jit(step, **donate_kw)
+        rep0 = NamedSharding(mesh, P())
 
-            def jitted(train_state, carry, key):  # noqa: F811
-                return orig(train_state, _dedupe_buffers(carry), key)
+        def wrapped(train_state, carry, key):
+            if donate:  # before the puts — see _stable_call
+                carry = _dedupe_buffers(carry)
+            train_state = jax.device_put(train_state, rep0)
+            key = jax.device_put(key, rep0)
+            carry = jax.tree.map(
+                lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), carry, carry_spec
+            )
+            return jitted3(train_state, carry, key)
 
-            jitted._jitted = orig
-        return jitted, carry_spec
+        wrapped._jitted = jitted3
+        return wrapped, carry_spec
 
     consts_spec = jax.tree.map(lambda _: P(), binder.arrays)
 
@@ -173,7 +218,21 @@ def make_sharded_superstep(
         check_vma=False,
     )
     jitted = jax.jit(step, **donate_kw)
-    return (_donating(jitted) if donate else jitted), carry_spec
+
+    rep = NamedSharding(mesh, P())
+
+    def put(train_state, carry, key, consts):
+        carry = jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), carry, carry_spec
+        )
+        return (
+            jax.device_put(train_state, rep),
+            carry,
+            jax.device_put(key, rep),
+            consts if consts is None else jax.device_put(consts, rep),
+        )
+
+    return _stable_call(jitted, put, donate), carry_spec
 
 
 def make_local_superstep(collect: Callable, update: Callable, binder=None, donate: bool = False):
@@ -190,7 +249,12 @@ def make_local_superstep(collect: Callable, update: Callable, binder=None, donat
 
     donate_kw = {"donate_argnums": (1,)} if donate else {}
     jitted = jax.jit(local_step, **donate_kw)
-    return _donating(jitted) if donate else jitted
+    dev = jax.devices()[0]
+
+    def put(train_state, carry, key, consts):
+        return jax.device_put((train_state, carry, key, consts), dev)
+
+    return _stable_call(jitted, put, donate)
 
 
 def shard_pytree(tree, spec_tree, mesh: Mesh):
