@@ -67,6 +67,12 @@ class ProceduralRIRBank:
     Tail support is truncated to ``length - delay_cap`` samples so the delay
     shift always stays inside the (B, L, 2) time-domain window — this is what
     makes the two representations bit-equivalent (up to float roundoff).
+
+    The spectral tables are stored as float32 (re, im) stacks, NOT complex64
+    arrays: the axon TPU transport cannot transfer complex64 between host
+    and device (UNIMPLEMENTED), and closure-captured tables get embedded as
+    HLO constants via a device→host copy. Complex values are only ever
+    formed *inside* traced code (``lax.complex`` in ``gather_fft``).
     """
 
     positions: jax.Array  # (S, N, 3)
@@ -77,8 +83,8 @@ class ProceduralRIRBank:
     tail_tau_s: float = 0.15
     num_tails: int = 64
     tail_noise: Optional[jax.Array] = None  # (P, L, 2) envelope-weighted tails
-    tail_fft: Optional[jax.Array] = None  # (P, F, 2) complex64 rFFTs at fft_len
-    itd_phase: Optional[jax.Array] = None  # (itd_cap+1, F) complex64 phase ramps
+    tail_fft: Optional[jax.Array] = None  # (2, P, F, 2) f32 re/im of rFFTs at fft_len
+    itd_phase: Optional[jax.Array] = None  # (2, itd_cap+1, F) f32 re/im phase ramps
 
     @property
     def delay_cap(self) -> int:
@@ -111,11 +117,12 @@ class ProceduralRIRBank:
             j = jnp.arange(self.length)[None, :, None].astype(jnp.float32)
             env = jnp.exp(-j / tau) * (j < support)
             tails = noise * env  # (P, L, 2)
-            tfft = jnp.fft.rfft(tails, n=n, axis=1).astype(jnp.complex64)
+            tfft = jnp.fft.rfft(tails, n=n, axis=1)
+            tfft = jnp.stack([jnp.real(tfft), jnp.imag(tfft)]).astype(jnp.float32)
             offs = jnp.arange(self.itd_cap + 1)[:, None]
             f = jnp.arange(n // 2 + 1)[None, :]
             ang = -2.0 * jnp.pi * ((offs * f) % n).astype(jnp.float32) / n
-            iph = jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
+            iph = jnp.stack([jnp.cos(ang), jnp.sin(ang)])
             return tails, tfft, iph
 
         self.tail_noise, self.tail_fft, self.itd_phase = build()
@@ -178,7 +185,10 @@ class ProceduralRIRBank:
         return rir
 
     def gather_fft(self, scene, az_idx, recv, src):
-        """(B,) indices → (B, F, 2) complex64 == rfft(gather(...), fft_len)."""
+        """(B,) indices → (B, F, 2) complex64 == rfft(gather(...), fft_len).
+
+        Complex values exist only inside the traced program (lax.complex on
+        the f32 re/im tables) — see the class docstring's axon note."""
         assert self.tail_fft is not None, "call ensure_tables() after construction"
         g_l, g_r, amp, delay, itd, tail_id, jitter = self._geometry(scene, az_idx, recv, src)
         n = self.fft_len
@@ -186,11 +196,12 @@ class ProceduralRIRBank:
         # exact int phase index: delay ≤ delay_cap ≤ 4096 keeps f*delay < 2^31
         ang = -2.0 * jnp.pi * ((delay[:, None] * f) % n).astype(jnp.float32) / n
         ph = jax.lax.complex(jnp.cos(ang), jnp.sin(ang))  # (B, F) e^{-iω·delay}
-        ph_l = ph * self.itd_phase[jnp.maximum(-itd, 0)]
-        ph_r = ph * self.itd_phase[jnp.maximum(itd, 0)]
-        tail = self.tail_fft[tail_id] * (ph * (jitter * self.tail_scale * amp)[:, None])[
-            :, :, None
-        ]  # (B, F, 2)
+        itd_l = jnp.maximum(-itd, 0)
+        itd_r = jnp.maximum(itd, 0)
+        ph_l = ph * jax.lax.complex(self.itd_phase[0, itd_l], self.itd_phase[1, itd_l])
+        ph_r = ph * jax.lax.complex(self.itd_phase[0, itd_r], self.itd_phase[1, itd_r])
+        tfft = jax.lax.complex(self.tail_fft[0, tail_id], self.tail_fft[1, tail_id])
+        tail = tfft * (ph * (jitter * self.tail_scale * amp)[:, None])[:, :, None]  # (B, F, 2)
         out_l = tail[:, :, 0] + (amp * g_l)[:, None] * ph_l
         out_r = tail[:, :, 1] + (amp * g_r)[:, None] * ph_r
         return jnp.stack([out_l, out_r], axis=-1)

@@ -443,8 +443,21 @@ def main() -> None:
     _note(f"savi non-banked: {fps_raw:.0f} fps")
     fps_int, mfu_int = bench_interactive(num_envs=64, iters=2)
     _note(f"interactive: {fps_int:.0f} fps, mfu {mfu_int}")
-    fps_hostrir = bench_hostrir(num_envs=64, t_steps=50, iters=2)
-    _note(f"hostrir io_callback audio: {fps_hostrir:.0f} fps")
+    try:
+        fps_hostrir = bench_hostrir(num_envs=64, t_steps=50, iters=2)
+        _note(f"hostrir io_callback audio: {fps_hostrir:.0f} fps")
+        hostrir_note = (
+            "io_callback mmap RIR gathers (HostRIRStore) + fused conv/STFT, "
+            "GRU policy, 64 envs, T=50 — the real-reference-data audio path"
+        )
+    except Exception as e:  # axon_pjrt: host callbacks UNIMPLEMENTED
+        fps_hostrir = None
+        hostrir_note = (
+            "io_callback unsupported by this PJRT backend "
+            f"({type(e).__name__}: {str(e)[:120]}); the HostRIRStore path is "
+            "exercised on the 8-device CPU mesh in tests/test_reference_data.py"
+        )
+        _note(f"hostrir io_callback audio: skipped — {hostrir_note}")
 
     out = {
         "metric": (
@@ -481,11 +494,8 @@ def main() -> None:
             "reference_hotpath_cpu_policy_ms": round(ref["cpu_policy_ms"], 2),
             "savi_smt_nonbanked_fps": round(fps_raw, 1),
             "savi_smt_nonbanked_note": "per-step fused RIR conv + STFT, 64 envs, T=150",
-            "hostrir_fps": round(fps_hostrir, 1),
-            "hostrir_note": (
-                "io_callback mmap RIR gathers (HostRIRStore) + fused conv/STFT, "
-                "GRU policy, 64 envs, T=50 — the real-reference-data audio path"
-            ),
+            "hostrir_fps": round(fps_hostrir, 1) if fps_hostrir is not None else None,
+            "hostrir_note": hostrir_note,
             "interactive_3policy_fps": round(fps_int, 1),
             "interactive_3policy_mfu": round(mfu_int, 4) if mfu_int is not None else None,
             "interactive_3policy_note": (

@@ -112,5 +112,8 @@ def test_env_uses_fft_path_and_matches_time_path():
 def test_fft_len_consistency():
     bank, _ = _bank(sr=2000, length=400)
     assert bank.rir.fft_len == _conv_fft_len(2000, 400)
-    f = bank.rir.tail_fft.shape[1]
+    # (2, P, F, 2) float32 re/im stack — complex64 never materialized
+    # (axon host<->device transfers of complex64 are UNIMPLEMENTED)
+    assert bank.rir.tail_fft.dtype == jnp.float32
+    f = bank.rir.tail_fft.shape[2]
     assert f == bank.rir.fft_len // 2 + 1
