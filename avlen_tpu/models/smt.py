@@ -77,10 +77,10 @@ class TransformerEncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, src, src_valid):
         a = MultiHeadAttention(self.d_model, self.nhead, self.dtype)(src, src, src, src_valid)
-        src = nn.LayerNorm()(src + a)
+        src = nn.LayerNorm(dtype=self.dtype)(src + a)
         f = nn.Dense(self.dim_feedforward, kernel_init=KAIMING, dtype=self.dtype)(src)
         f = nn.Dense(self.d_model, kernel_init=KAIMING, dtype=self.dtype)(nn.relu(f))
-        return nn.LayerNorm()(src + f)
+        return nn.LayerNorm(dtype=self.dtype)(src + f)
 
 
 class TransformerDecoderLayer(nn.Module):
@@ -92,12 +92,12 @@ class TransformerDecoderLayer(nn.Module):
     @nn.compact
     def __call__(self, tgt, mem, mem_valid):
         a = MultiHeadAttention(self.d_model, self.nhead, self.dtype, name="self_attn")(tgt, tgt, tgt)
-        tgt = nn.LayerNorm()(tgt + a)
+        tgt = nn.LayerNorm(dtype=self.dtype)(tgt + a)
         a = MultiHeadAttention(self.d_model, self.nhead, self.dtype, name="cross_attn")(tgt, mem, mem, mem_valid)
-        tgt = nn.LayerNorm()(tgt + a)
+        tgt = nn.LayerNorm(dtype=self.dtype)(tgt + a)
         f = nn.Dense(self.dim_feedforward, kernel_init=KAIMING, dtype=self.dtype)(tgt)
         f = nn.Dense(self.d_model, kernel_init=KAIMING, dtype=self.dtype)(nn.relu(f))
-        return nn.LayerNorm()(tgt + f)
+        return nn.LayerNorm(dtype=self.dtype)(tgt + f)
 
 
 class SMTStateEncoder(nn.Module):

@@ -132,6 +132,30 @@ class SMTPolicy(nn.Module):
         value = self.critic(att)
         return value, categorical_log_prob(logits, actions), categorical_entropy(logits), logits, x
 
+    def evaluate_step_frozen(self, obs, prev_actions, memory_feats, memory_valid, actions):
+        """PPO re-evaluation under SCENE_MEMORY_TRANSFORMER.freeze_encoders
+        (reference policy.py:646-656; savi.yaml:45 sets it for stage 2).
+
+        The frozen goal/visual/action towers make the step feature a pure
+        function of (obs, prev_action) and the frozen params, so the stored
+        rollout feature ``obs["__feature"]`` IS the tower output — the
+        towers are skipped entirely and gradients reach only the SMT
+        transformer + heads, exactly the reference's requires_grad=False
+        split. This removes the dominant per-epoch cost of the update (the
+        2x GroupNorm-resnet18 + AudioCNN recompute per (t, b) per epoch)."""
+        att = self.net.forward_with_features(
+            obs, obs["__feature"], memory_feats, memory_valid
+        )
+        logits = self.action_head(att)
+        value = self.critic(att)
+        return (
+            value,
+            categorical_log_prob(logits, actions),
+            categorical_entropy(logits),
+            logits,
+            obs["__feature"],
+        )
+
     def get_value(self, obs, prev_actions, memory_feats, memory_valid):
         att, _ = self.net(obs, prev_actions, memory_feats, memory_valid)
         return self.critic(att)

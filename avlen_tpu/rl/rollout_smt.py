@@ -164,6 +164,8 @@ def batched_ring_eval(
     inputs,  # pytree with (T, B, ...) leaves, passed flattened to eval_fn
     memories,  # sequence of (initial SMTMemory, features_seq (T,B,F), masks_seq (T,B))
     chunk: int = 15,
+    compute_dtype=None,  # cast the feature pool (e.g. bf16 under TPU.PRECISION):
+    # the (C·B, M, F) view gathers are the update's dominant HBM traffic
 ):
     """T-parallel ring-replay evaluation: per-step memory views are gathered
     from the stored features (reconstruct_memory_views) and ``eval_fn`` runs
@@ -178,14 +180,18 @@ def batched_ring_eval(
         chunk -= 1
     n_chunks = t_len // chunk
 
-    plans = []  # (pool (B, T+M+1, F), content_idx (T,B,M), valid (T,B,M))
+    plans = []  # (pool (T+M+1, B, F) time-major, content_idx (T,B,M), valid (T,B,M))
     for mem0, feats, masks in memories:
         content_idx, valid = reconstruct_memory_views(mem0, feats, masks)
         pool = jnp.concatenate(
             [feats, jnp.swapaxes(mem0.features, 0, 1), jnp.zeros_like(feats[:1])],
             axis=0,
         )
-        plans.append((jnp.swapaxes(pool, 0, 1), content_idx, valid))
+        if compute_dtype is not None:
+            pool = pool.astype(compute_dtype)
+        plans.append((pool, content_idx, valid))
+
+    env_ids = jnp.arange(b)[None, :, None]  # (1, B, 1)
 
     def eval_chunk(_, inp):
         inputs_c, idx_valid_c = inp  # leaves (C, B, ...)
@@ -193,10 +199,13 @@ def batched_ring_eval(
         views = []
         for (pool, _, _), (idx_c, valid_c) in zip(plans, idx_valid_c):
             m = idx_c.shape[-1]
-            idx_b = jnp.swapaxes(idx_c, 0, 1).reshape(b, c * m)  # (B, C·M)
-            mem = jnp.take_along_axis(pool, idx_b[:, :, None], axis=1)
-            mem = mem.reshape(b, c, m, -1).swapaxes(0, 1).reshape(c * b, m, -1)
-            views.append((mem, valid_c.reshape(c * b, m)))
+            # time-major pool + (C, B, M) fancy index → the gather emits
+            # (C, B, M, F) directly in the C-major layout eval_fn consumes;
+            # the previous take_along_axis route materialized a (B, C·M, F)
+            # gather then a ~160 MB transpose per chunk (28% of the whole
+            # PPO update was XLA `copy` ops at production shapes)
+            mem = pool[idx_c, env_ids]  # (C, B, M, F)
+            views.append((mem.reshape(c * b, m, -1), valid_c.reshape(c * b, m)))
         flat = lambda x: x.reshape((c * b,) + x.shape[2:])
         out = eval_fn(jax.tree.map(flat, inputs_c), views)
         return None, jax.tree.map(lambda x: x.reshape((c, b) + x.shape[1:]), out)
@@ -218,11 +227,17 @@ def evaluate_sequence_smt_batched(
     masks_seq: jnp.ndarray,  # (T, Bm)
     actions_seq: jnp.ndarray,  # (T, Bm)
     chunk: int = 15,
+    compute_dtype=None,
 ):
     """T-parallel evaluate_sequence_smt (see batched_ring_eval): numerically
     the same per-step memory views as the scan, same outputs."""
     features = obs_seq["__feature"]  # (T, B, F)
-    sensor_obs = {k: v for k, v in obs_seq.items() if not k.startswith("__")}
+    # __feature stays in the step obs: evaluate_step_frozen consumes it
+    # (freeze_encoders fast path); the recompute path ignores it
+    sensor_obs = {
+        k: v for k, v in obs_seq.items()
+        if not k.startswith("__") or k == "__feature"
+    }
 
     def eval_fn(inp, views):
         obs_f, pa_f, a_f = inp
@@ -235,6 +250,7 @@ def evaluate_sequence_smt_batched(
         (sensor_obs, obs_seq["__prev_action"], actions_seq),
         [(initial_memory, features, masks_seq)],
         chunk=chunk,
+        compute_dtype=compute_dtype,
     )
 
 
@@ -249,7 +265,10 @@ def evaluate_sequence_smt(
     Returns (values, log_probs, entropy, logits), each (T, Bm, ...)."""
     prev_actions = obs_seq["__prev_action"]
     features = obs_seq["__feature"]
-    sensor_obs = {k: v for k, v in obs_seq.items() if not k.startswith("__")}
+    sensor_obs = {
+        k: v for k, v in obs_seq.items()
+        if not k.startswith("__") or k == "__feature"
+    }
 
     # rematerialize each step's policy forward in the backward pass: without
     # this the scan would keep every step's CNN/transformer activations live

@@ -240,13 +240,23 @@ class SaviTrainer(BaseRLTrainer):
             )
 
             def evaluate_actions(p, obs, init_mem, masks, actions):
+                # freeze_encoders (savi.yaml:45, policy.py:646-656): the
+                # stored rollout features ARE the frozen towers' outputs, so
+                # re-eval skips the towers and grads reach only SMT + heads
+                method = (
+                    SMTPolicy.evaluate_step_frozen
+                    if smt_cfg.freeze_encoders
+                    else SMTPolicy.evaluate_step
+                )
+
                 def eval_step(o, pa, mf, mv, a):
-                    return policy.apply(p, o, pa, mf, mv, a, method=SMTPolicy.evaluate_step)
+                    return policy.apply(p, o, pa, mf, mv, a, method=method)
 
                 if smt_cfg.batched_eval:
                     return evaluate_sequence_smt_batched(
                         eval_step, obs, init_mem, masks, actions,
                         chunk=smt_cfg.batched_eval_chunk,
+                        compute_dtype=self.compute_dtype(),
                     )
                 return evaluate_sequence_smt(eval_step, obs, init_mem, masks, actions)
 

@@ -96,6 +96,9 @@ _PRODUCTION_OPTS = [
     "RL.PPO.use_belief_predictor", "True",
     "RL.PPO.SCENE_MEMORY_TRANSFORMER.memory_size", "150",
     "RL.PPO.SCENE_MEMORY_TRANSFORMER.hidden_size", "256",
+    # stage-2 recipe (savi.yaml:45): frozen towers → PPO re-eval reuses the
+    # stored rollout features instead of recomputing the CNNs per epoch
+    "RL.PPO.SCENE_MEMORY_TRANSFORMER.freeze_encoders", "True",
     "TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS", "150",
     "TASK_CONFIG.DATASET.SYNTHETIC.NUM_SCENES", "1",
     "TASK_CONFIG.DATASET.SYNTHETIC.SIDE", "8",

@@ -209,3 +209,80 @@ def test_batched_eval_chunk_not_dividing_t():
     )
     assert v.shape == (t_len, b) and lg.shape == (t_len, b, 4)
     assert calls[0] == 3 * b  # 9 % 6 != 0 → chunk 3
+
+
+def test_frozen_eval_matches_recompute_and_freezes_encoders():
+    """evaluate_step_frozen (SCENE_MEMORY_TRANSFORMER.freeze_encoders) must
+    reproduce evaluate_step exactly when __feature holds the true tower
+    outputs, and its gradients must not touch the frozen towers — the
+    reference's requires_grad=False split (policy.py:646-656)."""
+    from avlen_tpu.models.smt_policy import AudioNavSMTNet, SMTPolicy
+
+    rng = np.random.RandomState(7)
+    b, t_len, m = 3, 8, 4
+    net = AudioNavSMTNet(
+        spectrogram_hw=(9, 6), d_model=32, nhead=2, use_rgb=False, use_depth=False,
+    )
+    policy = SMTPolicy(net=net)
+    f = net.feature_size
+
+    obs = {
+        "spectrogram": jnp.asarray(rng.randn(t_len, b, 9, 6, 2).astype(np.float32)),
+        "pose": jnp.asarray(rng.randn(t_len, b, 4).astype(np.float32)),
+        "category_belief": jnp.asarray(rng.rand(t_len, b, 21).astype(np.float32)),
+        "location_belief": jnp.asarray(rng.randn(t_len, b, 2).astype(np.float32)),
+        "__prev_action": jnp.asarray(rng.randint(0, 4, (t_len, b)), dtype=jnp.int32),
+    }
+    masks = jnp.asarray((rng.rand(t_len, b) > 0.3).astype(np.float32))
+    actions = jnp.asarray(rng.randint(0, 4, (t_len, b)), dtype=jnp.int32)
+    mem0 = _random_initial_memory(rng, b, m, f, (2, 0, 5))
+
+    obs0 = jax.tree.map(lambda x: x[0], obs)
+    params = policy.init(
+        jax.random.key(0),
+        {k: v for k, v in obs0.items() if not k.startswith("__")},
+        obs0["__prev_action"], mem0.features, mem0.valid, actions[0],
+        method=SMTPolicy.evaluate_step,
+    )
+
+    # the TRUE tower outputs as the stored rollout features
+    flat = lambda x: x.reshape((t_len * b,) + x.shape[2:])
+    feats = policy.apply(
+        params,
+        {k: flat(v) for k, v in obs.items() if not k.startswith("__")},
+        flat(obs["__prev_action"]),
+        method=lambda self, o, pa: self.net.get_features(o, pa),
+    )
+    obs["__feature"] = feats.reshape(t_len, b, f)
+
+    def run(p, method):
+        def eval_step(o, pa, mf, mv, a):
+            return policy.apply(p, o, pa, mf, mv, a, method=method)
+
+        return evaluate_sequence_smt_batched(
+            eval_step, obs, mem0, masks, actions, chunk=4
+        )
+
+    v_r, lp_r, ent_r, lg_r = jax.jit(lambda p: run(p, SMTPolicy.evaluate_step))(params)
+    v_f, lp_f, ent_f, lg_f = jax.jit(
+        lambda p: run(p, SMTPolicy.evaluate_step_frozen)
+    )(params)
+    np.testing.assert_allclose(np.asarray(v_f), np.asarray(v_r), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(lp_f), np.asarray(lp_r), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ent_f), np.asarray(ent_r), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(lg_f), np.asarray(lg_r), rtol=2e-5, atol=2e-4)
+
+    def loss(p):
+        v, lp, ent, _ = run(p, SMTPolicy.evaluate_step_frozen)
+        return (v.sum() + lp.sum()) * 1e-2 + ent.mean()
+
+    grads = jax.grad(loss)(params)["params"]
+    frozen_leaves = jax.tree.leaves(
+        {k: v for k, v in grads["net"].items()
+         if k.startswith(("goal_encoder", "action_encoder", "visual_encoder"))}
+    )
+    assert frozen_leaves, "expected encoder grad entries"
+    for g in frozen_leaves:
+        np.testing.assert_array_equal(np.asarray(g), 0.0)
+    live = jax.tree.leaves(grads["net"]["smt"]) + jax.tree.leaves(grads["action_head"])
+    assert any(np.abs(np.asarray(g)).max() > 0 for g in live)
