@@ -535,6 +535,19 @@ def build_reference_scene_bank(cfg: ReferenceDataConfig):
     ]
     est_len = max(probe_lengths) if probe_lengths else cfg.max_rir_length
     dense_bytes = len(scenes) * 4 * n_max * n_max * est_len * 2 * 4
+    if dense_bytes > cfg.dense_rir_max_bytes:
+        import jax
+
+        from avlen_tpu.utils.platform import host_callbacks_supported
+
+        if not host_callbacks_supported():
+            raise RuntimeError(
+                f"RIR bank (~{dense_bytes / 2**30:.1f} GiB) exceeds "
+                f"DENSE_RIR_MAX_BYTES and the mmap HostRIRStore needs host "
+                f"callbacks, which backend '{jax.default_backend()}' does not "
+                "support. Raise SIMULATOR.AUDIO.DENSE_RIR_MAX_BYTES if it fits "
+                "HBM, or run on a callback-capable backend."
+            )
     if dense_bytes <= cfg.dense_rir_max_bytes:
         rirs = load_rir_tree(rir_dirs, n_max, cfg.max_rir_length, cfg.sampling_rate)
         rir = DenseRIRBank(rirs)

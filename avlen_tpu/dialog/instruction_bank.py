@@ -65,14 +65,18 @@ def build_instruction_bank(
 
     items: List[dict] = []
     slots: List[tuple] = []
+    tok_cache: dict = {}  # template texts repeat heavily across (node, goal)
 
     def flush():
         if not items:
             return
         texts = speaker.instruction_text(items)
-        toks = tokenize(texts, context_length=context_length)
-        for (si, node, rot, goal), tk in zip(slots, toks):
-            bank[si, node, rot, goal] = tk
+        fresh = sorted({t for t in texts if t not in tok_cache})
+        if fresh:
+            for t, tk in zip(fresh, tokenize(fresh, context_length=context_length)):
+                tok_cache[t] = tk
+        for (si, node, rot, goal), text in zip(slots, texts):
+            bank[si, node, rot, goal] = tok_cache[text]
         items.clear()
         slots.clear()
 

@@ -89,7 +89,9 @@ def speaker_from_config(cfg, tables_list, rgb_bank=None) -> Speaker:
         )
         neural_params = jax.tree.map(jnp.asarray, ckpt["state_dict"])
         hidden = int(ckpt.get("hidden_size", 256))
-        want_feat = 8 + (pano.shape[-1] if pano is not None else 0)
+        from avlen_tpu.dialog.speaker.speaker import GEOM_DIM, NUM_CATEGORIES
+
+        want_feat = GEOM_DIM + NUM_CATEGORIES + (pano.shape[-1] if pano is not None else 0)
         have_feat = int(ckpt.get("world_feat_dim", want_feat))
         if have_feat != want_feat:
             raise ValueError(
@@ -177,11 +179,33 @@ def resolve_instruction_source(
     source when any scene exceeds MAX_BANK_NODES (an O(N²) bank at real
     Matterport sizes would be ~300 MB + ~1M speaker calls per scene).
     """
+    from avlen_tpu.utils.logging import logger
+    from avlen_tpu.utils.platform import host_callbacks_supported
+
     speaker = speaker_from_config(cfg, tables_list, rgb_bank=rgb_bank)
     mode = cfg.SPEAKER.BANK_MODE
+    n_max = max(t.num_nodes for t in tables_list)
     if mode == "auto":
-        n_max = max(t.num_nodes for t in tables_list)
         mode = "bank" if n_max <= cfg.SPEAKER.MAX_BANK_NODES else "callback"
+    if mode == "callback" and not host_callbacks_supported():
+        # Backends without host send/recv (e.g. tunneled single-chip PJRT)
+        # cannot run io_callback; bank instead when that is still tractable.
+        bank_mb = len(tables_list) * n_max * n_max * 4 * CONTEXT_LENGTH * 4 / 2**20
+        if cfg.SPEAKER.BANK_MODE == "callback" or n_max > 4 * cfg.SPEAKER.MAX_BANK_NODES:
+            raise RuntimeError(
+                "SPEAKER instruction source resolved to the host-callback "
+                f"speaker, but backend '{jax.default_backend()}' does not "
+                "support host callbacks (io_callback). Use SPEAKER.BANK_MODE "
+                "bank (feasible up to a few hundred nodes/scene) or run on a "
+                f"callback-capable backend. (bank would be ~{bank_mb:.0f} MB "
+                f"at N={n_max})"
+            )
+        logger.warning(
+            "host callbacks unsupported on backend '%s'; banking instructions "
+            "instead (N=%d > MAX_BANK_NODES=%d, ~%.0f MB)"
+            % (jax.default_backend(), n_max, cfg.SPEAKER.MAX_BANK_NODES, bank_mb)
+        )
+        mode = "bank"
     if mode == "bank":
         return build_instruction_bank(speaker, tables_list), None
     return None, HostSpeakerInstructionSource(speaker, tables_list)

@@ -70,6 +70,7 @@ def evaluate_option_sequence_batched(
     actions_option: jnp.ndarray,
     initial_memory: SMTMemory,
     chunk: int = 15,
+    compute_dtype=None,
 ):
     """T-parallel evaluate_option_sequence (rl/rollout_smt.batched_ring_eval):
     identical per-step ring views, MXU-sized batches."""
@@ -90,6 +91,7 @@ def evaluate_option_sequence_batched(
         (sensor_obs, traj_obs["__prev_action"], query_state, last_query_info, actions_option),
         [(initial_memory, feat_option, masks)],
         chunk=chunk,
+        compute_dtype=compute_dtype,
     )
 
 
@@ -106,6 +108,7 @@ def ppo_update_interactive(
     unct_coef: float = 0.5,
     grad_reduce: Callable = lambda g: g,
     batched_chunk: int = 0,  # >0: T-parallel ring re-eval with this chunk
+    compute_dtype=None,  # pool dtype for the batched ring views (bf16 on TPU)
 ):
     """One π_q PPO update over the interactive trajectory."""
     t, b = traj["actions_option"].shape
@@ -123,7 +126,11 @@ def ppo_update_interactive(
         return jax.tree.map(lambda v: jnp.take(v, idx, axis=0), tree)
 
     eval_seq = (
-        functools.partial(evaluate_option_sequence_batched, chunk=batched_chunk)
+        functools.partial(
+            evaluate_option_sequence_batched,
+            chunk=batched_chunk,
+            compute_dtype=compute_dtype,
+        )
         if batched_chunk > 0
         else evaluate_option_sequence
     )
@@ -238,6 +245,7 @@ def evaluate_dialog_sequence_batched(
     initial_mem_vln: SMTMemory,
     initial_mem_vln_dialog: SMTMemory,
     chunk: int = 15,
+    compute_dtype=None,
 ):
     """T-parallel evaluate_dialog_sequence: both π_l ring memories (state and
     dialog-state) reconstructed by gather (rl/rollout_smt.batched_ring_eval)."""
@@ -261,6 +269,7 @@ def evaluate_dialog_sequence_batched(
             (initial_mem_vln_dialog, feat_vln_dialog, masks_vln),
         ],
         chunk=chunk,
+        compute_dtype=compute_dtype,
     )
 
 
@@ -273,6 +282,7 @@ def dialog_supervised_update(
     replay_only: bool = True,
     grad_reduce: Callable = lambda g: g,
     batched_chunk: int = 0,  # >0: T-parallel ring re-eval with this chunk
+    compute_dtype=None,
 ):
     """π_l class-weighted CE against oracle actions (update_dialog,
     savi/ppo/ppo.py:99-154). ``replay_only`` restricts to queried steps (the
@@ -280,7 +290,11 @@ def dialog_supervised_update(
     weights_tbl = jnp.asarray(DIALOG_CLASS_WEIGHTS)
 
     eval_seq = (
-        functools.partial(evaluate_dialog_sequence_batched, chunk=batched_chunk)
+        functools.partial(
+            evaluate_dialog_sequence_batched,
+            chunk=batched_chunk,
+            compute_dtype=compute_dtype,
+        )
         if batched_chunk > 0
         else evaluate_dialog_sequence
     )

@@ -322,6 +322,7 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
                 self.optimizer_q, self.ppo_cfg, unct_coef=cfg.RL.PPO.unct_coef,
                 grad_reduce=grad_reduce,
                 batched_chunk=smt_cfg.batched_eval_chunk if smt_cfg.batched_eval else 0,
+                compute_dtype=self.compute_dtype(),
             )
 
         def update_l(pd, opt_state, traj, replay_only=True, grad_reduce=lambda g: g):
@@ -336,6 +337,7 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
                 pd, opt_state, traj, evaluate_step, self.optimizer_l,
                 replay_only=replay_only, grad_reduce=grad_reduce,
                 batched_chunk=smt_cfg.batched_eval_chunk if smt_cfg.batched_eval else 0,
+                compute_dtype=self.compute_dtype(),
             )
 
         have_sub_instr = self.sub_instr_bank is not None

@@ -319,3 +319,37 @@ def test_dialog_pretraining_consumes_dataset_sub_instr(tmp_path, monkeypatch):
         expected = tokenize([texts[int(ep0[b])]])[0]
         np.testing.assert_array_equal(dialog0[b], expected)
     assert np.isfinite(float(stats["dialog_loss"]))
+
+
+# ---------------------------------------------------------------------------
+def test_no_host_callback_backend_fallback(monkeypatch):
+    """Backends without host send/recv (tunneled single-chip PJRT) cannot run
+    io_callback: auto mode must bank instead when tractable, and explicit
+    callback mode must fail loudly at setup — not UNIMPLEMENTED inside the
+    first jitted superstep."""
+    import avlen_tpu.utils.platform as plat
+    from avlen_tpu.config import get_config
+    from avlen_tpu.dialog.instruction_source import resolve_instruction_source
+
+    monkeypatch.setattr(plat, "host_callbacks_supported", lambda *_a: False)
+    tables = _tables(side=4)  # ~14-16 nodes
+    n = max(t.num_nodes for t in tables)
+
+    # auto + N slightly over MAX_BANK_NODES -> warn + bank
+    cfg = get_config(opts=[
+        "SPEAKER.BANK_MODE", "auto", "SPEAKER.MAX_BANK_NODES", str(n - 1),
+    ])
+    bank, src = resolve_instruction_source(cfg, tables)
+    assert bank is not None and src is None
+
+    # explicit callback -> loud setup-time error
+    cfg = get_config(opts=["SPEAKER.BANK_MODE", "callback"])
+    with pytest.raises(RuntimeError, match="host callbacks"):
+        resolve_instruction_source(cfg, tables)
+
+    # auto + N far beyond any tractable bank -> loud error too
+    cfg = get_config(opts=[
+        "SPEAKER.BANK_MODE", "auto", "SPEAKER.MAX_BANK_NODES", str(n // 8),
+    ])
+    with pytest.raises(RuntimeError, match="host callbacks"):
+        resolve_instruction_source(cfg, tables)
