@@ -280,7 +280,7 @@ class AVNavTrainer(BaseRLTrainer):
     def _eval_checkpoint(self, checkpoint_path: str, writer, checkpoint_index: int = 0) -> Dict[str, float]:
         ckpt = self.load_checkpoint(checkpoint_path)
         self.reconfigure_from_checkpoint(ckpt)
-        from avlen_tpu.rl.trainers.base import exact_once_deal
+        from avlen_tpu.rl.trainers.base import eval_episode_accounting, exact_once_deal
 
         params = jax.tree.map(jnp.asarray, ckpt["state_dict"])
         num_episodes = int(self.env.eps["scene"].shape[0])
@@ -300,9 +300,7 @@ class AVNavTrainer(BaseRLTrainer):
         )
         seen: set = set()
         first_chunk = True
-        max_rollouts = 10 + 4 * (
-            -(-num_episodes // b)
-        ) * -(-self.env.config.max_episode_steps // max(self.num_steps, 1))
+        max_rollouts = self.eval_rollout_budget(num_episodes, b, self.env.config.max_episode_steps)
         for _ in range(max_rollouts):
             if len(seen) >= count:
                 break
@@ -325,6 +323,7 @@ class AVNavTrainer(BaseRLTrainer):
                     stats[k].append(metrics[k][t, bi])
         self._last_eval_episode_ids = sorted(seen)
         means = {k: float(np.mean(v)) for k, v in stats.items()}
+        means.update(eval_episode_accounting(seen, count, "avnav"))
         logger.info(f"eval ckpt {checkpoint_index}: " + ", ".join(f"{k}={v:.3f}" for k, v in means.items()))
         for k, v in means.items():
             writer.add_scalar(f"val/{k}", v, checkpoint_index)

@@ -33,6 +33,7 @@ from avlen_tpu.rl.trainers.avnav import ppo_config_from
 from avlen_tpu.rl.trainers.base import (
     METRIC_BLACKLIST,
     BaseRLTrainer,
+    eval_episode_accounting,
     exact_once_deal,
 )
 from avlen_tpu.sim.builder import construct_batched_env
@@ -298,9 +299,7 @@ class AVWanTrainer(BaseRLTrainer):
         stats: Dict[str, list] = collections.defaultdict(list)
         seen: set = set()
         videos_made = 0
-        max_rollouts = 10 + 4 * (-(-num_episodes // b)) * (
-            -(-self.env.env.config.max_episode_steps // max(self.num_steps, 1))
-        )
+        max_rollouts = self.eval_rollout_budget(num_episodes, b, self.env.env.config.max_episode_steps)
         for _ in range(max_rollouts):
             if len(seen) >= count:
                 break
@@ -321,6 +320,7 @@ class AVWanTrainer(BaseRLTrainer):
                     stats[k].append(metrics[k][t, bi])
         self._last_eval_episode_ids = sorted(seen)
         means = {k: float(np.mean(v)) for k, v in stats.items()}
+        means.update(eval_episode_accounting(seen, count, "avwan"))
         logger.info(f"avwan eval ckpt {checkpoint_index}: " + ", ".join(f"{k}={v:.3f}" for k, v in means.items()))
         for k, v in means.items():
             writer.add_scalar(f"val/{k}", v, checkpoint_index)

@@ -49,6 +49,26 @@ def exact_once_deal(num_episodes: int, num_envs: int):
     return order
 
 
+def eval_episode_accounting(seen, count: int, where: str) -> Dict[str, float]:
+    """Episodes-evaluated bookkeeping for the exactly-once eval loops.
+
+    The eval loops bound rollout chunks by ``max_rollouts``, which can exit
+    with fewer than TEST_EPISODE_COUNT episodes completed under pathological
+    configs (very long episodes, few env slots). The reference instead blocks
+    until every process finishes its split (base_trainer.py:185-289); here an
+    under-count is logged loudly and recorded as ``episodes_evaluated`` so
+    means over a short sample are never silent."""
+    if len(seen) < count:
+        logger.warning(
+            "%s eval exhausted its rollout budget with %d/%d episodes "
+            "completed; reported means cover only the completed episodes "
+            "(more env slots or a higher max_rollouts budget would finish "
+            "the split)",
+            where, len(seen), count,
+        )
+    return {"episodes_evaluated": float(len(seen))}
+
+
 class BaseRLTrainer:
     def __init__(self, config: ConfigNode):
         self.config = config
@@ -58,6 +78,16 @@ class BaseRLTrainer:
 
     def _setup(self, num_envs=None) -> None:  # overridden by trainers
         raise NotImplementedError
+
+    def eval_rollout_budget(self, num_episodes: int, num_envs: int, max_episode_steps: int) -> int:
+        """Rollout-chunk budget for the exactly-once eval loops: enough
+        chunks for every slot to finish its dealt stream at worst-case
+        episode length, with generous slack. Centralized so tests can force
+        an artificially tiny budget and assert the under-count warning
+        (eval_episode_accounting)."""
+        return 10 + 4 * (-(-num_episodes // num_envs)) * (
+            -(-max_episode_steps // max(self.num_steps, 1))
+        )
 
     def compute_dtype(self):
         """TPU.PRECISION → the compute dtype passed into every tower

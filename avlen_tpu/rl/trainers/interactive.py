@@ -607,7 +607,7 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
             if "belief_predictor" in ckpt and self.use_belief_predictor
             else self.belief_params
         )
-        from avlen_tpu.rl.trainers.base import METRIC_BLACKLIST, exact_once_deal
+        from avlen_tpu.rl.trainers.base import METRIC_BLACKLIST, eval_episode_accounting, exact_once_deal
 
         # exactly-once protocol over the eval split (reference runs each of
         # the 500/1000 episodes once with pause-on-done, base_trainer.py:185)
@@ -643,9 +643,7 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
         # 1824-1860)
         log_lines = []
         episode_records = collections.defaultdict(list)
-        max_rollouts = 10 + 4 * (
-            -(-num_episodes // b)
-        ) * -(-self.env.config.max_episode_steps // max(self.num_steps, 1))
+        max_rollouts = self.eval_rollout_budget(num_episodes, b, self.env.config.max_episode_steps)
         videos_made = 0
         for _ in range(max_rollouts):
             if len(seen) >= count:
@@ -694,6 +692,7 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
             **{k: np.asarray(v) for k, v in episode_records.items()},
         )
         means = {k: float(np.mean(v)) for k, v in stats.items()}
+        means.update(eval_episode_accounting(seen, count, "interactive"))
         logger.info(
             f"interactive eval ckpt {checkpoint_index}: "
             + ", ".join(f"{k}={v:.3f}" for k, v in means.items())

@@ -442,7 +442,7 @@ class SaviTrainer(BaseRLTrainer):
             if "belief_predictor" in ckpt and self.use_belief_predictor
             else self.belief_params
         )
-        from avlen_tpu.rl.trainers.base import METRIC_BLACKLIST, exact_once_deal
+        from avlen_tpu.rl.trainers.base import METRIC_BLACKLIST, eval_episode_accounting, exact_once_deal
 
         # exactly-once protocol: each episode of the eval split is counted
         # once, keyed by its packed index (reference: every episode runs once
@@ -468,9 +468,7 @@ class SaviTrainer(BaseRLTrainer):
             key=jax.random.key(self.config.SEED + 11),
         )
         seen: set = set()
-        max_rollouts = 10 + 4 * (
-            -(-num_episodes // b)
-        ) * -(-self.env.config.max_episode_steps // max(self.num_steps, 1))
+        max_rollouts = self.eval_rollout_budget(num_episodes, b, self.env.config.max_episode_steps)
         videos_made = 0
         for _ in range(max_rollouts):
             if len(seen) >= count:
@@ -495,6 +493,7 @@ class SaviTrainer(BaseRLTrainer):
                     stats[k].append(metrics[k][t, bi])
         self._last_eval_episode_ids = sorted(seen)
         means = {k: float(np.mean(v)) for k, v in stats.items()}
+        means.update(eval_episode_accounting(seen, count, "savi"))
         logger.info(f"savi eval ckpt {checkpoint_index}: " + ", ".join(f"{k}={v:.3f}" for k, v in means.items()))
         for k, v in means.items():
             writer.add_scalar(f"val/{k}", v, checkpoint_index)

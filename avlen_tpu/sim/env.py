@@ -133,6 +133,11 @@ class EnvConfig:
     # fused Pallas spectrogram kernel (ops/pallas_spectrogram.py): None =
     # auto (on when the default backend is TPU), True/False = forced
     pallas_spectrogram: Optional[bool] = None
+    # record each step's rendered audio pair in the metrics (packed
+    # (scene, azimuth, receiver) key + source node) — the verify half of the
+    # chunked host-prefetch audio path (data/host_prefetch.py): the host
+    # checks every requested pair against its cache mirror after each chunk
+    record_audio_pairs: bool = False
 
 
 class BatchedAudioNavEnv:
@@ -297,11 +302,23 @@ class BatchedAudioNavEnv:
         target = jnp.asarray(train_ids if sound_type == "heard" else held_ids, jnp.int32)
         consts = dict(self.consts)
         eps = dict(consts["eps"])
-        eps["sound"] = target[eps["sound"] % target.shape[0]]
+
+        # deterministic per-episode draw over the target sound set, keyed by
+        # the episode's packed index (not the train sound id): a modulo remap
+        # of the train sound would collapse several train sounds onto one
+        # eval sound and skew the eval distribution; the reference instead
+        # names sounds per category at episode load
+        # (semantic_audionav_task.py:222-224), which this draw approximates
+        # uniformly while preserving the never-trained-on guarantee
+        def draw(salt: int):
+            e = jnp.arange(eps["sound"].shape[0], dtype=jnp.uint32)
+            h = (e + jnp.uint32(salt)) * jnp.uint32(2654435761)
+            h = h ^ (h >> 16)
+            return target[(h % jnp.uint32(target.shape[0])).astype(jnp.int32)]
+
+        eps["sound"] = draw(0)
         dist = eps["distractor_sound"]
-        eps["distractor_sound"] = jnp.where(
-            dist >= 0, target[dist % target.shape[0]], dist
-        )
+        eps["distractor_sound"] = jnp.where(dist >= 0, draw(0x9E37), dist)
         consts["eps"] = eps
         return consts
 
@@ -462,6 +479,20 @@ class BatchedAudioNavEnv:
             new_episode=done,
             ep_order=state.ep_order,
         )
+        if cfg.record_audio_pairs:
+            # the audio pair _observe(next_state) is about to render — the
+            # verify input of the chunked host-prefetch path
+            # (data/host_prefetch.HostRIRPrefetcher.requested_keys)
+            from avlen_tpu.data.host_prefetch import pack_pair_key_a
+
+            az_next = (4 - next_state.rot) % 4
+            metrics["pair_key_a"] = pack_pair_key_a(
+                next_state.scene, az_next, next_state.node, self._wbank.max_nodes
+            ).astype(jnp.int32)
+            metrics["pair_src"] = next_state.goal_node.astype(jnp.int32)
+            if cfg.has_distractor:
+                metrics["pair_dsrc"] = next_state.distractor_node.astype(jnp.int32)
+
         obs = self._observe(next_state)
         return next_state, StepOutput(obs=obs, reward=r, done=done, metrics=metrics)
 

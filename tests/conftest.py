@@ -49,7 +49,21 @@ if _ALREADY_CLEAN:
 
 
 def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "smoke: fast one-per-subsystem subset (pytest -m smoke, <10 min; README §testing)",
+    )
     if _ALREADY_CLEAN:
+        # fresh per-session ledger of isolation.py signal-death retries
+        import tempfile
+
+        from tests.isolation import RETRY_LOG_ENV
+
+        if not os.environ.get(RETRY_LOG_ENV):
+            fd, path = tempfile.mkstemp(prefix="avlen_isolation_retries_")
+            os.close(fd)
+            os.environ[RETRY_LOG_ENV] = path
+            config._avlen_retry_log_owned = path
         return
     env = dict(os.environ)
     env.update(
@@ -72,6 +86,76 @@ def pytest_configure(config):
 import gc
 
 import pytest
+
+
+# fast one-per-subsystem smoke tier (`pytest -m smoke`): iterate without the
+# multi-hour full suite. Curated here (not per-file marks) so the whole tier
+# is auditable at a glance; each entry is the cheapest test that still
+# exercises its subsystem end-to-end. No fork-isolated mesh tests.
+SMOKE_TESTS = frozenset({
+    "test_config.py::test_yaml_merge",                              # config/CLI
+    "test_graph.py::test_hops_match_networkx",                      # graph tables
+    "test_native.py::test_engine_step_semantics",                   # C engine
+    "test_audio_ops.py::test_spectrogram_full_pipeline",            # audio ops
+    "test_env.py::test_oracle_rollout_reaches_goal_in_num_action_steps",  # env
+    "test_rl.py::test_ppo_update_runs_and_changes_params",          # PPO core
+    "test_models.py::test_policy_act_and_evaluate_consistent",      # policies
+    "test_smt.py::test_memory_ring_insert_and_reset",               # SMT memory
+    "test_dialog.py::test_dialog_policy_act",                       # dialog nets
+    "test_clip_exact.py::test_byte_fallback_ids_are_openai_exact",  # CLIP BPE
+    "test_interactive.py::test_query_windows_and_masks",            # AVLEN rollout
+    "test_mapping.py::test_depth_to_egomap_wall_ahead",             # mapping ops
+    "test_mp3d_utils.py::test_house_reader",                        # mp3d utils
+    "test_reference_data.py::test_host_rir_store_matches_dense",    # data pipeline
+    "test_episode_stream_r3.py::test_streamer_reshuffles_between_cycles",  # streams
+    "test_heard_unheard_r3.py::test_eval_consts_remap_heard_and_unheard",  # protocol
+    "test_challenge.py::test_package_codec_roundtrip",               # challenge RPC
+    "test_vln_alignment.py::test_heading_adjustment_tracks_the_turn",  # VLN data
+    "test_aux.py::test_preemption_state_roundtrip",                  # aux subsystems
+})
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        rel = item.nodeid.split("/")[-1]
+        if rel in SMOKE_TESTS:
+            item.add_marker(pytest.mark.smoke)
+
+
+MAX_ISOLATION_RETRIES = 1  # >1 load-bearing signal-death retries fail the suite
+
+
+def _read_retry_events():
+    path = os.environ.get("AVLEN_ISOLATION_RETRY_LOG", "")
+    if not path or not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return [ln.strip() for ln in f if ln.strip()]
+
+
+def pytest_terminal_summary(terminalreporter, exitstatus, config):
+    """Surface every isolation.py signal-death retry in the suite summary
+    (VERDICT r3 #10: silent retries must not become load-bearing)."""
+    events = _read_retry_events()
+    if not events:
+        return
+    terminalreporter.section("isolation signal-death retries")
+    for e in events:
+        terminalreporter.write_line(e)
+    if len(events) > MAX_ISOLATION_RETRIES:
+        terminalreporter.write_line(
+            f"FAILED: {len(events)} signal-death retries exceed the budget of "
+            f"{MAX_ISOLATION_RETRIES} — the XLA:CPU abort is recurring, not a "
+            "one-off; investigate before trusting the mesh tests",
+        )
+
+
+def pytest_sessionfinish(session, exitstatus):
+    if len(_read_retry_events()) > MAX_ISOLATION_RETRIES and session.exitstatus == 0:
+        session.exitstatus = 1
+    owned = getattr(session.config, "_avlen_retry_log_owned", None)
+    if owned and os.path.exists(owned) and not _read_retry_events():
+        os.unlink(owned)
 
 
 @pytest.fixture(autouse=True, scope="module")

@@ -28,6 +28,18 @@ import sys
 
 TIMEOUT_S = 1500
 
+# suite-wide signal-death retry ledger; conftest points this at a per-session
+# file and reports/fails from it in the terminal summary
+RETRY_LOG_ENV = "AVLEN_ISOLATION_RETRY_LOG"
+
+
+def _record_retry(nodeid: str, returncode: int) -> None:
+    path = os.environ.get(RETRY_LOG_ENV)
+    if not path:
+        return
+    with open(path, "a") as f:
+        f.write(f"{nodeid} rc={returncode}\n")
+
 
 def isolated(test_file: str):
     def deco(fn):
@@ -51,7 +63,7 @@ def isolated(test_file: str):
             # legitimately park in collectives for minutes (conftest docstring)
             env["XLA_FLAGS"] = mesh_cpu_flags(env.get("XLA_FLAGS", ""))
             r = None
-            for _ in range(2):
+            for attempt in range(2):
                 r = subprocess.run(
                     [sys.executable, "-m", "pytest", nodeid, "-x", "-q", "-p", "no:cacheprovider"],
                     env=env, capture_output=True, text=True, timeout=TIMEOUT_S,
@@ -63,7 +75,17 @@ def isolated(test_file: str):
                         f"isolated test failed (rc={r.returncode}):\n"
                         f"{r.stdout[-6000:]}\n{r.stderr[-3000:]}"
                     )
-                # negative rc: child killed by a signal (XLA:CPU abort) — retry
+                # negative rc: child killed by a signal (XLA:CPU abort) —
+                # retry LOUDLY: every retry event is printed and appended to
+                # the suite retry log; conftest's terminal summary surfaces
+                # them and fails the suite when retries exceed the budget
+                # (silent signal-death retries must not become load-bearing)
+                _record_retry(nodeid, r.returncode)
+                print(
+                    f"\n[isolation] {nodeid} died by signal (rc={r.returncode}); "
+                    "retrying in a fresh interpreter\n",
+                    file=sys.stderr, flush=True,
+                )
             raise AssertionError(
                 f"isolated test died by signal twice (rc={r.returncode}):\n"
                 f"{r.stdout[-3000:]}\n{r.stderr[-3000:]}"
