@@ -70,6 +70,14 @@ _C.TPU.MESH_SHAPE = [-1]  # -1 = all available devices on the axis
 # recipes and bench.py set bfloat16 (MXU-native).
 _C.TPU.PRECISION = "float32"
 _C.TPU.DONATE_ROLLOUTS = True  # donate superstep carry buffers (no copy)
+# chunked rollout execution (parallel/chunked.py): scan length per chunk on
+# the callback-free host data path. 0 = auto (≈num_steps/6, a divisor).
+_C.TPU.ROLLOUT_CHUNK = 0
+# host-prefetch audio serving (data/host_prefetch.py): "auto" engages it
+# when the RIR provider is an mmap HostRIRStore and the backend lacks host
+# callbacks (this TPU); "on" forces it (CI coverage on CPU); "off" restores
+# the round-3 behavior (io_callback or error).
+_C.TPU.HOST_PREFETCH = "auto"
 
 # -- EVAL -------------------------------------------------------------------
 _C.EVAL = CN()
@@ -265,9 +273,13 @@ _TC.SIMULATOR.AUDIO.DISTRACTOR_SOUND_DIR = "data/sounds/1s_all_distractor"
 # TPU-native: cap on padded RIR length in samples (bucketed padding)
 _TC.SIMULATOR.AUDIO.MAX_RIR_LENGTH = 24000
 # reference-data RIR storage: dense device bank below this byte size,
-# mmap HostRIRStore (io_callback gathers) above. Force 0 to route ALL audio
-# through the host store (real-Matterport-scale path).
+# mmap HostRIRStore above (io_callback gathers, or the chunked host-prefetch
+# cache on callback-less backends — TPU.HOST_PREFETCH). Force 0 to route ALL
+# audio through the host store (real-Matterport-scale path).
 _TC.SIMULATOR.AUDIO.DENSE_RIR_MAX_BYTES = 2147483648
+# device associative-cache capacity (entries) for the host-prefetch audio
+# path; HBM cost ≈ slots × rir_len × 2ch × 4B (data/host_prefetch.py)
+_TC.SIMULATOR.AUDIO.RIR_CACHE_SLOTS = 4096
 # Precompute the full spectrogram bank on device (the reference's
 # _spectrogram_cache steady state); auto-skipped for multi-second sounds,
 # distractors, or when the bank exceeds the byte budget.

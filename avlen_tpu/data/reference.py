@@ -503,6 +503,10 @@ class ReferenceDataConfig:
     # dense device bank below this byte size, HostRIRStore pack above
     dense_rir_max_bytes: int = 2 << 30
     rir_pack_dir: Optional[str] = None  # where packed banks live/get built
+    # on backends without host callbacks the HostRIRStore can still serve
+    # audio via the chunked host-prefetch cache (data/host_prefetch.py,
+    # wired by sim/builder.py); False restores the hard error
+    allow_host_prefetch: bool = True
 
 
 def build_reference_scene_bank(cfg: ReferenceDataConfig):
@@ -540,13 +544,14 @@ def build_reference_scene_bank(cfg: ReferenceDataConfig):
 
         from avlen_tpu.utils.platform import host_callbacks_supported
 
-        if not host_callbacks_supported():
+        if not host_callbacks_supported() and not cfg.allow_host_prefetch:
             raise RuntimeError(
                 f"RIR bank (~{dense_bytes / 2**30:.1f} GiB) exceeds "
                 f"DENSE_RIR_MAX_BYTES and the mmap HostRIRStore needs host "
                 f"callbacks, which backend '{jax.default_backend()}' does not "
                 "support. Raise SIMULATOR.AUDIO.DENSE_RIR_MAX_BYTES if it fits "
-                "HBM, or run on a callback-capable backend."
+                "HBM, enable TPU.HOST_PREFETCH (chunked host-prefetch audio, "
+                "data/host_prefetch.py), or run on a callback-capable backend."
             )
     if dense_bytes <= cfg.dense_rir_max_bytes:
         rirs = load_rir_tree(rir_dirs, n_max, cfg.max_rir_length, cfg.sampling_rate)

@@ -67,6 +67,9 @@ class AVNavTrainer(BaseRLTrainer):
         self.env = construct_batched_env(
             cfg, num_envs=num_envs, with_depth=True, with_rgb="RGB_SENSOR" in cfg.SENSORS and not cfg.EXTRA_RGB
         )
+        from avlen_tpu.parallel.chunked import require_no_host_prefetch
+
+        require_no_host_prefetch(self.env, "avnav")
         b = self.env.num_envs
         spec_hw = self.env.spec_config.out_shape[:2]
         self.policy = Policy(

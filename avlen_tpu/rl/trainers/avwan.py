@@ -62,6 +62,9 @@ class AVWanTrainer(BaseRLTrainer):
         self.ppo_cfg = ppo_config_from(cfg)
         self.num_steps = cfg.RL.PPO.num_steps
         base_env = construct_batched_env(cfg, num_envs=num_envs, with_depth=True)
+        from avlen_tpu.parallel.chunked import require_no_host_prefetch
+
+        require_no_host_prefetch(base_env, "avwan")
         tc = cfg.TASK_CONFIG.TASK
         self.env = BatchedMapNavEnv(
             base_env,

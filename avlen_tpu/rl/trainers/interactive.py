@@ -99,6 +99,9 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
             cfg, num_envs=num_envs, with_depth=True, with_rgb=True,
             extra_sensors=("category_belief", "location_belief", "category"),
         )
+        from avlen_tpu.parallel.chunked import require_no_host_prefetch
+
+        require_no_host_prefetch(self.env, "ddppo (interactive)")
         b = self.env.num_envs
         spec_hw = self.env.spec_config.out_shape[:2]
         num_actions = len(cfg.TASK_CONFIG.TASK.POSSIBLE_ACTIONS)

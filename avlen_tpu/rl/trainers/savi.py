@@ -176,7 +176,7 @@ class SaviTrainer(BaseRLTrainer):
         smt_cfg = self.config.RL.PPO.SCENE_MEMORY_TRANSFORMER
         belief_net = self.belief_net
 
-        def collect(params, belief_params, carry, deterministic=False):
+        def collect(params, belief_params, carry, deterministic=False, n=None):
             def act(obs, pa, mf, mv, key):
                 return policy.apply(params, obs, pa, mf, mv, key, deterministic, method=SMTPolicy.act)
 
@@ -192,13 +192,45 @@ class SaviTrainer(BaseRLTrainer):
                         current_pred_only=bp_cfg.current_pred_only,
                     )
 
-            return collect_rollout_smt(env._step_impl_noquery, act, val, belief_fn, carry, num_steps)
+            return collect_rollout_smt(
+                env._step_impl_noquery, act, val, belief_fn, carry,
+                num_steps if n is None else n,
+            )
 
-        def collect_bound(consts, params, belief_params, carry, deterministic=False):
+        def collect_bound(consts, params, belief_params, carry, deterministic=False, n=None):
             with env.binder.bind(consts):
-                return collect(params, belief_params, carry, deterministic)
+                return collect(params, belief_params, carry, deterministic, n)
 
-        self._collect = jax.jit(collect_bound, static_argnames=("deterministic",))
+        self._chunked = None
+        if getattr(env, "host_prefetcher", None) is not None:
+            # callback-free host audio path: rollouts run as chunked scans
+            # with host RIR prefetch between chunks (parallel/chunked.py)
+            from avlen_tpu.parallel.chunked import ChunkedCollector, resolve_chunk
+
+            chunk = resolve_chunk(
+                num_steps, self.config.TPU.ROLLOUT_CHUNK or max(1, num_steps // 6)
+            )
+            self._chunked = ChunkedCollector(
+                env.host_prefetcher, env.binder, chunk, num_steps
+            )
+            self._chunk_len = chunk
+            collect_chunk_jit = jax.jit(
+                functools.partial(collect_bound, n=chunk),
+                static_argnames=("deterministic",),
+            )
+
+            def chunked_eval_collect(consts, params, belief_params, carry, deterministic=False):
+                carry, batch, _ = self._chunked.run(
+                    lambda c, cr: collect_chunk_jit(
+                        c, params, belief_params, cr, deterministic=deterministic
+                    ),
+                    carry, consts,
+                )
+                return carry, batch
+
+            self._collect = chunked_eval_collect
+        else:
+            self._collect = jax.jit(collect_bound, static_argnames=("deterministic",))
 
         online_belief = belief_net is not None and bp_cfg.online_training
         belief_optimizer = self.belief_optimizer if online_belief else None
@@ -228,9 +260,9 @@ class SaviTrainer(BaseRLTrainer):
 
         # one (rollout → GAE → PPO [→ belief MSE]) superstep; multi-chip runs
         # it under shard_map with pmean gradient sync (parallel/ddppo.py)
-        def collect_ts(train_state, carry):
+        def collect_ts(train_state, carry, n=None):
             params, _, belief_params, _ = train_state
-            return collect(params, belief_params, carry)
+            return collect(params, belief_params, carry, n=n)
 
         def update_ts(train_state, batch, key, grad_reduce):
             params, opt_state, belief_params, belief_opt = train_state
@@ -278,7 +310,17 @@ class SaviTrainer(BaseRLTrainer):
         )
 
         self._collect_ts, self._update_ts = collect_ts, update_ts  # ablation timing
-        if self.mesh is not None:
+        if self._chunked is not None:
+            from avlen_tpu.parallel.chunked import make_chunked_superstep
+
+            self._superstep, carry_spec = make_chunked_superstep(
+                collect_ts, update_ts, self._train_state(), self.carry,
+                self.mesh, num_steps, self._chunk_len,
+                binder=env.binder, collector=self._chunked,
+            )
+            if carry_spec is not None:
+                self.carry = shard_pytree(self.carry, carry_spec, self.mesh)
+        elif self.mesh is not None:
             train_state_ex = self._train_state()
             self._superstep, carry_spec = make_sharded_superstep(
                 collect_ts, update_ts, train_state_ex, self.carry,
@@ -290,6 +332,15 @@ class SaviTrainer(BaseRLTrainer):
             self._superstep = make_local_superstep(
                 collect_ts, update_ts, binder=env.binder, donate=self._donate_rollouts()
             )
+
+        if self._chunked is not None:
+            # the reset's _observe ran against an empty RIR cache — prefetch
+            # the standing pairs and recompute the initial observations
+            consts = self._chunked.prime(self.carry.env_state)
+            obs = dict(env._observe_jit(consts, self.carry.env_state))
+            for k, v in self.carry.obs.items():
+                obs.setdefault(k, v)  # belief slots injected at setup
+            self.carry = self.carry._replace(obs=obs)
 
     def _train_state(self):
         return (

@@ -93,6 +93,7 @@ def build_world_from_config(
             max_rir_length=audio.MAX_RIR_LENGTH,
             scenes=None if content == ["*"] else content,
             dense_rir_max_bytes=int(audio.DENSE_RIR_MAX_BYTES),
+            allow_host_prefetch=config.TPU.HOST_PREFETCH != "off",
         )
         return build_reference_scene_bank(ref_cfg)
 
@@ -241,6 +242,30 @@ def construct_batched_env(
     if bank.semantic is None:
         sensors = [s for s in sensors if s != "semantic_object"]
 
+    # callback-free host audio serving: when the RIR provider is the mmap
+    # HostRIRStore and host callbacks are unavailable (or TPU.HOST_PREFETCH
+    # forces it), swap in the device associative cache + host prefetcher and
+    # record per-step audio pairs for its verify/replay loop
+    # (data/host_prefetch.py, parallel/chunked.py)
+    host_prefetcher = None
+    from avlen_tpu.data.reference import HostRIRStore
+
+    if isinstance(bank.rir, HostRIRStore):
+        from avlen_tpu.utils.platform import host_callbacks_supported
+
+        mode = config.TPU.HOST_PREFETCH
+        if mode == "on" or (mode == "auto" and not host_callbacks_supported()):
+            from avlen_tpu.data.host_prefetch import HostRIRPrefetcher
+
+            host_prefetcher = HostRIRPrefetcher(
+                bank.rir,
+                np.asarray(bank.tables["hops"]),
+                packed,
+                capacity=int(tc.SIMULATOR.AUDIO.RIR_CACHE_SLOTS),
+                has_distractor=tc.SIMULATOR.AUDIO.HAS_DISTRACTOR_SOUND,
+            )
+            bank.rir = host_prefetcher.make_cache()
+
     env_cfg = EnvConfig(
         max_episode_steps=tc.ENVIRONMENT.MAX_EPISODE_STEPS,
         success_distance=tc.TASK.SUCCESS_DISTANCE,
@@ -253,9 +278,14 @@ def construct_batched_env(
         # (utils/maps.top_down_map_measure), like the videos
         record_pose_info=bool(config.VIDEO_OPTION)
         or "TOP_DOWN_MAP" in tc.TASK.MEASUREMENTS,
+        record_audio_pairs=host_prefetcher is not None,
     )
     audio_cfg = tc.SIMULATOR.AUDIO
-    if audio_cfg.CACHE_SPECTROGRAMS and not env_cfg.has_distractor:
+    if (
+        audio_cfg.CACHE_SPECTROGRAMS
+        and not env_cfg.has_distractor
+        and host_prefetcher is None  # cache starts empty — nothing to render
+    ):
         from avlen_tpu.sim.scene import precompute_spectrogram_bank
 
         bank.spec_bank = precompute_spectrogram_bank(
@@ -267,6 +297,7 @@ def construct_batched_env(
         bank.sound_fft_bank = precompute_sound_fft_bank(bank)
 
     env = BatchedAudioNavEnv(bank, packed, env_cfg)
+    env.host_prefetcher = host_prefetcher  # chunked-rollout audio serving
     env.scene_tables = tables  # host-side per-scene tables (speaker/instruction bank)
     env.episodes = episodes  # host-side episode list (sub_instr bank, iterator refresh)
     env.streamer = streamer  # per-slot ITERATOR_OPTIONS episode streams

@@ -188,10 +188,13 @@ def bench_interactive(num_envs: int, iters: int):
 
 
 def bench_hostrir(num_envs: int = 64, t_steps: int = 50, iters: int = 2):
-    """fps of the io_callback audio path: the synthetic world's RIRs packed
-    into the HostRIRStore on-disk format and re-served through per-step host
-    mmap gathers — the designated route for real 16 kHz reference data whose
-    dense bank exceeds DENSE_RIR_MAX_BYTES (data/reference.py:502-521)."""
+    """fps of the host-served audio path — the designated route for real
+    16 kHz reference data whose dense bank exceeds DENSE_RIR_MAX_BYTES
+    (data/reference.py:502-521): the synthetic world's RIRs packed into the
+    HostRIRStore on-disk format and re-served either through per-step
+    `io_callback` mmap gathers (callback-capable backends) or, on this TPU's
+    callback-less PJRT, through the chunked host-prefetch associative cache
+    (data/host_prefetch.py + parallel/chunked.py). Returns (fps, mode)."""
     import jax
     import jax.numpy as jnp
 
@@ -201,6 +204,7 @@ def bench_hostrir(num_envs: int = 64, t_steps: int = 50, iters: int = 2):
     from avlen_tpu.rl.rollout import CarryState, collect_rollout
     from avlen_tpu.sim.env import BatchedAudioNavEnv, EnvConfig
     from avlen_tpu.sim.synthetic import make_episodes, make_scene_bank
+    from avlen_tpu.utils.platform import host_callbacks_supported
 
     bank, tables = make_scene_bank(
         np.random.RandomState(0), num_scenes=1, side=5, rir_length=24000,
@@ -224,12 +228,25 @@ def bench_hostrir(num_envs: int = 64, t_steps: int = 50, iters: int = 2):
         idx = pack_dense_rirs(dense, os.path.join(workdir, "rirs"), 16000)
         del dense, chunks
         bank.spec_bank = None
-        bank.rir = HostRIRStore(idx)
+        store = HostRIRStore(idx)
+        bank.rir = store
 
+        prefetch = not host_callbacks_supported()
         eps = make_episodes(np.random.RandomState(1), tables, 256, min_hops=2, max_hops=20, num_sounds=2)
+        packed = pack_episodes(eps, num_envs=num_envs)
+        prefetcher = None
+        if prefetch:
+            from avlen_tpu.data.host_prefetch import HostRIRPrefetcher
+
+            prefetcher = HostRIRPrefetcher(
+                store, np.asarray(bank.tables["hops"]), packed, capacity=3072,
+                lookahead_episodes=4,
+            )
+            bank.rir = prefetcher.make_cache()
         env = BatchedAudioNavEnv(
-            bank, pack_episodes(eps, num_envs=num_envs),
-            EnvConfig(max_episode_steps=150, sensors=("spectrogram", "pose")),
+            bank, packed,
+            EnvConfig(max_episode_steps=150, sensors=("spectrogram", "pose"),
+                      record_audio_pairs=prefetch),
         )
         policy = Policy(
             net=AudioNavBaselineNet(
@@ -243,7 +260,7 @@ def bench_hostrir(num_envs: int = 64, t_steps: int = 50, iters: int = 2):
         hidden = jnp.zeros((num_envs, 128), jnp.float32)
         params = policy.init(key, obs, hidden, jnp.ones((num_envs,)), key, method=Policy.act)
 
-        def collect(params, carry, consts):
+        def collect(params, carry, consts, n=t_steps):
             with env.binder.bind(consts):
                 def pol(o, h, m, k):
                     return policy.apply(params, o, h, m, k, method=Policy.act)
@@ -251,7 +268,43 @@ def bench_hostrir(num_envs: int = 64, t_steps: int = 50, iters: int = 2):
                 def val(o, h, m):
                     return policy.apply(params, o, h, m, method=Policy.get_value)
 
-                return collect_rollout(env._step_impl_noquery, pol, val, carry, t_steps)
+                return collect_rollout(env._step_impl_noquery, pol, val, carry, n)
+
+        if prefetch:
+            import functools
+
+            from avlen_tpu.parallel.chunked import ChunkedCollector, resolve_chunk
+
+            chunk = resolve_chunk(t_steps, 10)
+            coll = ChunkedCollector(prefetcher, env.binder, chunk, t_steps)
+            consts0 = coll.prime(state)
+            obs = env._observe_jit(consts0, state)  # reset obs on a warm cache
+            carry = CarryState(env_state=state, obs=obs, hidden=hidden,
+                               masks=jnp.zeros((num_envs,)), key=key)
+            chunk_jit = jax.jit(functools.partial(collect, n=chunk))
+
+            def run_once(carry):
+                carry, batch, _ = coll.run(
+                    lambda c, cr: chunk_jit(params, cr, c), carry
+                )
+                return carry, batch
+
+            carry, batch = run_once(carry)  # compile + first cache fills
+            jax.block_until_ready(batch.rewards)
+            t0 = time.time()
+            for _ in range(iters):
+                carry, batch = run_once(carry)
+            jax.block_until_ready(batch.rewards)
+            dt = time.time() - t0
+            mode = (
+                f"chunked host-prefetch audio (AssocRIRCache, chunk={chunk}, "
+                f"{coll.prefetcher.uploads} uploads / "
+                f"{coll.prefetcher.uploaded_entries} RIRs / "
+                f"{coll.prefetcher.replays} replays total) + fused conv/STFT, "
+                "GRU policy — the real-reference-data route on this "
+                "callback-less PJRT (data/host_prefetch.py)"
+            )
+            return iters * t_steps * num_envs / dt, mode
 
         carry = CarryState(env_state=state, obs=obs, hidden=hidden,
                            masks=jnp.zeros((num_envs,)), key=key)
@@ -264,7 +317,12 @@ def bench_hostrir(num_envs: int = 64, t_steps: int = 50, iters: int = 2):
             carry, batch = collect_c(params, carry, consts)
         jax.block_until_ready(batch.rewards)
         dt = time.time() - t0
-        return iters * t_steps * num_envs / dt
+        mode = (
+            "io_callback mmap RIR gathers (HostRIRStore) + fused conv/STFT, "
+            "GRU policy — the real-reference-data route on callback-capable "
+            "backends"
+        )
+        return iters * t_steps * num_envs / dt, mode
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -439,34 +497,35 @@ def main() -> None:
     # headline baseline: the standing estimate, now validated by a measured
     # bracket (audio-only upper bound / all-CPU lower bound); clamp into it
     baseline = float(np.clip(REFERENCE_FPS, ref["fps_lower_bound"], ref["fps_upper_bound"]))
-    _note("savi banked: building")
-    fps, mfu = bench_savi(num_envs=128, iters=5, banked=True)
-    _note(f"savi banked: {fps:.0f} fps, mfu {mfu}")
-    fps_raw, _ = bench_savi(num_envs=64, iters=2, banked=False)
-    _note(f"savi non-banked: {fps_raw:.0f} fps")
+    # headline: the REALISTIC audio path — per-step fused RIR convolution +
+    # STFT, no all-pairs spectrogram bank (the bank steady state only exists
+    # for small worlds; real MP3D scenes render per step, so this is the
+    # number a real-data run achieves). Banked is reported as an extra.
+    _note("savi non-banked (headline): building")
+    fps, mfu = bench_savi(num_envs=128, iters=4, banked=False)
+    _note(f"savi non-banked: {fps:.0f} fps, mfu {mfu}")
+    fps_banked, mfu_banked = bench_savi(num_envs=128, iters=5, banked=True)
+    _note(f"savi banked: {fps_banked:.0f} fps, mfu {mfu_banked}")
     fps_int, mfu_int = bench_interactive(num_envs=64, iters=2)
     _note(f"interactive: {fps_int:.0f} fps, mfu {mfu_int}")
     try:
-        fps_hostrir = bench_hostrir(num_envs=64, t_steps=50, iters=2)
-        _note(f"hostrir io_callback audio: {fps_hostrir:.0f} fps")
-        hostrir_note = (
-            "io_callback mmap RIR gathers (HostRIRStore) + fused conv/STFT, "
-            "GRU policy, 64 envs, T=50 — the real-reference-data audio path"
-        )
-    except Exception as e:  # axon_pjrt: host callbacks UNIMPLEMENTED
+        fps_hostrir, hostrir_note = bench_hostrir(num_envs=64, t_steps=50, iters=2)
+        _note(f"hostrir audio: {fps_hostrir:.0f} fps ({hostrir_note[:60]}...)")
+    except Exception as e:
         fps_hostrir = None
         hostrir_note = (
-            "io_callback unsupported by this PJRT backend "
-            f"({type(e).__name__}: {str(e)[:120]}); the HostRIRStore path is "
-            "exercised on the 8-device CPU mesh in tests/test_reference_data.py"
+            f"host-served audio path failed ({type(e).__name__}: "
+            f"{str(e)[:160]}); exercised on the 8-device CPU mesh in "
+            "tests/test_reference_data.py + tests/test_host_prefetch_r4.py"
         )
-        _note(f"hostrir io_callback audio: skipped — {hostrir_note}")
+        _note(f"hostrir audio: failed — {hostrir_note}")
 
     out = {
         "metric": (
-            "rollout+update env steps/sec/chip (SAVi SMT semantic audionav: "
-            "memory-150 scene transformer, belief predictor, 16kHz audio, "
-            "128px RGB-D, 128 envs, spectrogram-bank steady state; built via "
+            "rollout+update env steps/sec/chip (SAVi SMT semantic audionav, "
+            "REALISTIC audio path: per-step fused RIR conv + STFT — no "
+            "spectrogram bank — memory-150 scene transformer, belief "
+            "predictor, 16kHz audio, 128px RGB-D, 128 envs; built via "
             "registry.get_trainer('savi') — the production run.py superstep, "
             "TPU.PRECISION=bfloat16, TPU.DONATE_ROLLOUTS=True)"
         ),
@@ -495,8 +554,13 @@ def main() -> None:
             },
             "reference_hotpath_audio_ms": round(ref["audio_ms"], 2),
             "reference_hotpath_cpu_policy_ms": round(ref["cpu_policy_ms"], 2),
-            "savi_smt_nonbanked_fps": round(fps_raw, 1),
-            "savi_smt_nonbanked_note": "per-step fused RIR conv + STFT, 64 envs, T=150",
+            "savi_smt_banked_fps": round(fps_banked, 1),
+            "savi_smt_banked_mfu": round(mfu_banked, 4) if mfu_banked is not None else None,
+            "savi_smt_banked_note": (
+                "spectrogram-bank steady state (the reference's "
+                "_spectrogram_cache equivalent) — only materializable for "
+                "small worlds; reported as an extra, not the headline"
+            ),
             "hostrir_fps": round(fps_hostrir, 1) if fps_hostrir is not None else None,
             "hostrir_note": hostrir_note,
             "interactive_3policy_fps": round(fps_int, 1),

@@ -1,10 +1,12 @@
-"""Full AVLEN recipe integration smoke: all five training stages chained.
+"""Full AVLEN recipe integration smoke: all six training stages chained.
 
 Mirrors the reference's staged training chain (SURVEY.md §2.8): belief
 pretraining → SAVi SMT pretraining (memory 1) → SAVi finetune (memory 150)
-→ π_l dialog pretraining → AVLEN interactive (loading the pretrained goal +
-dialog checkpoints). Tiny settings; validates cross-stage checkpoint
-compatibility end-to-end.
+→ π_l dialog pretraining → speaker training → AVLEN interactive (loading the
+pretrained goal + dialog checkpoints AND the neural speaker, which serves
+the instruction channel exactly as the reference's pretrained snapshot does
+— speaker_pipeline.py:27, ppo_trainer.py:549-562). Tiny settings; validates
+cross-stage checkpoint compatibility end-to-end.
 
 Usage: python scripts/run_recipe_smoke.py [--workdir /tmp/recipe]
 """
@@ -87,7 +89,22 @@ def main() -> None:
     vln_ckpt = sorted(glob.glob(os.path.join(w, "vln", "data", "vln", "ckpt.*.pth")))[-1]
     print("stage 3 (dialog pretraining) ok:", vln_ckpt)
 
-    # stage 4: AVLEN interactive, loading stage-2/3 checkpoints
+    # stage 4: speaker training on the same world (train_speaker output is
+    # the snapshot the interactive stage's instruction channel loads)
+    from avlen_tpu.dialog.speaker.train_speaker import train_speaker
+    from avlen_tpu.sim.builder import build_world_from_config
+
+    cfg = get_config(opts=tiny_task + ["TRAINER_NAME", "ddppo"],
+                     model_dir=os.path.join(w, "speaker"))
+    _, tables, _ = build_world_from_config(cfg, with_rgb=False, with_depth=False)
+    train_speaker(tables, num_steps=60, batch=16, hidden_size=32,
+                  checkpoint_dir=os.path.join(w, "speaker"))
+    speaker_ckpt = os.path.join(w, "speaker", "speaker.pth")
+    print("stage 4 (speaker) ok:", speaker_ckpt)
+
+    # stage 5: AVLEN interactive, loading stage-2/3 checkpoints and the
+    # stage-4 neural speaker (the shipped savi_interactive_*_stage.yaml
+    # configs declare the same SPEAKER.BACKEND/CKPT_PATH wiring)
     cfg = get_config(opts=tiny_task + [
         "TRAINER_NAME", "ddppo", "NUM_UPDATES", "2",
         "RL.PPO.policy_type", "interactive",
@@ -96,9 +113,11 @@ def main() -> None:
         "REPLAY_STORE", "True",
         "GOAL_CKPT_PATH", goal_ckpt,
         "VLN_CKPT_PATH", vln_ckpt,
+        "SPEAKER.BACKEND", "neural",
+        "SPEAKER.CKPT_PATH", speaker_ckpt,
     ], model_dir=os.path.join(w, "avlen"))
     registry.get_trainer("ddppo")(cfg).train()
-    print("stage 4 (interactive) ok")
+    print("stage 5 (interactive, neural speaker) ok")
     print("FULL RECIPE SMOKE OK")
 
 
