@@ -6,6 +6,12 @@ the human R2R instructions). Here the ground truth channel is the template
 speaker (the synthetic world's oracle language), and the corpus BLEU
 implementation is the standard published formula: modified n-gram precision
 summed over the corpus, geometric mean over n=1..4, brevity penalty.
+
+Scores quoted from this harness on synthetic worlds are therefore
+SELF-REFERENTIAL: they measure how well the seq2seq learned the template
+channel, not R2R-grade language quality (real R2R text is unavailable in a
+zero-egress image). On real data the identical harness scores against the
+dataset's human instructions.
 """
 
 from __future__ import annotations

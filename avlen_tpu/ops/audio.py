@@ -146,17 +146,117 @@ def _conv_fft_len(out_len: int, max_rir_len: int) -> int:
     return n
 
 
+def _ct_factors(h: int) -> Tuple[int, int]:
+    """h (a power of two) = n1 * n2 with n1 = 2^ceil(log2(sqrt(h))) — the
+    2-stage Cooley-Tukey split whose cross-twiddle e^{2πi·n1²k2j/h} is unity
+    (n1² is a multiple of h for powers of two)."""
+    n1 = 1
+    while n1 * n1 < h:
+        n1 *= 2
+    return n1, h // n1
+
+
+@functools.lru_cache(maxsize=8)
+def _partial_irfft_consts(fft_len: int, out_start: int, out_len: int):
+    """f32 re/im constant tables for partial_irfft_matmul (numpy, cached).
+
+    Stored as separate re/im f32 planes — complex64 constants would have to
+    be transferred host→device, which this TPU's PJRT (axon) does not
+    implement; lax.complex assembles them inside the traced program."""
+    n = fft_len
+    h = n // 2
+    n1, n2 = _ct_factors(h)
+    # output sample range n ∈ [out_start, out_start+out_len) → packed index
+    # t ∈ [t0, t1) (y[2t], y[2t+1] = Re/Im z[t]) → row block j ∈ [j0, j1)
+    t0 = out_start // 2
+    t1 = (out_start + out_len + 1) // 2
+    j0, j1 = t0 // n1, (t1 - 1) // n1 + 1
+    k = np.arange(h)
+    pack = np.exp(2j * np.pi * k / n)  # e^{2πik/N}
+    m_mat = np.exp(2j * np.pi * np.outer(np.arange(n2), np.arange(n1)) / n2)
+    tw = np.exp(2j * np.pi * np.outer(np.arange(n1), np.arange(n1)) / h)
+    e2 = np.exp(2j * np.pi * np.outer(np.arange(j0, j1), np.arange(n1)) / n2)
+
+    def ri(z):
+        return (np.ascontiguousarray(z.real, np.float32),
+                np.ascontiguousarray(z.imag, np.float32))
+
+    return dict(n1=n1, n2=n2, j0=j0, j1=j1, pack=ri(pack), m=ri(m_mat),
+                tw=ri(tw), e2=ri(e2))
+
+
+def partial_irfft_matmul(
+    spec: jax.Array, fft_len: int, out_start: int, out_len: int
+) -> jax.Array:
+    """``jnp.fft.irfft(spec, n=fft_len)[..., out_start:out_start+out_len]``
+    computed on the MXU instead of the FFT custom-call.
+
+    XLA:TPU's length-2^16 FFT lowers to a chain of layout-copy + transpose
+    fusions that dominated the non-banked audio superstep (r4 profile:
+    ~65% of rollout device time). This path (a) packs the real inverse FFT
+    into a half-length complex inverse DFT (y[2t], y[2t+1] = Re/Im z[t]),
+    (b) splits that DFT into two dense matmuls + a twiddle via radix-√H
+    Cooley-Tukey, and (c) computes ONLY the output rows covering the
+    requested window — for the valid-conv audio window that is ~25% of the
+    spectrum, a saving a general FFT cannot express. Matmuls run at
+    Precision.HIGHEST (f32-accurate on the MXU); exactness vs jnp.fft.irfft
+    is pinned by tests/test_partial_irfft.py.
+    """
+    c = _partial_irfft_consts(fft_len, out_start, out_len)
+    n1, n2, j0, j1 = c["n1"], c["n2"], c["j0"], c["j1"]
+    h = fft_len // 2
+    hi = jax.lax.Precision.HIGHEST
+
+    def cplx(pair):
+        return jax.lax.complex(jnp.asarray(pair[0]), jnp.asarray(pair[1]))
+
+    xk = spec[..., :h]
+    xr = jnp.conj(spec[..., 1 : h + 1][..., ::-1])  # X[H-k], k=0..H-1
+    packed = 0.5 * (xk + xr) + 0.5j * ((xk - xr) * cplx(c["pack"]))
+    c2 = packed.reshape(*packed.shape[:-1], n2, n1)
+    # stage 1: n2-point DFTs per k1 column → (..., k1, m)
+    c1 = jnp.einsum("...ka,km->...am", c2, cplx(c["m"]), precision=hi)
+    d = cplx(c["tw"]) * c1
+    # stage 2: only the j rows covering the window → (..., j, m)
+    z = jnp.einsum("jk,...km->...jm", cplx(c["e2"]), d, precision=hi) / h
+    y = jnp.stack([jnp.real(z), jnp.imag(z)], axis=-1)  # y[2t], y[2t+1]
+    y = y.reshape(*y.shape[:-3], (j1 - j0) * n1 * 2)
+    off = out_start - 2 * j0 * n1
+    return jax.lax.slice_in_dim(y, off, off + out_len, axis=-1)
+
+
+# "auto": MXU matmul path on TPU backends, FFT custom-call elsewhere (CPU
+# FFTs are fast and CPU dense DFT matmuls are not). Overridable for tests
+# and A/B timing via AVLEN_MATMUL_IRFFT=0/1.
+def _use_matmul_irfft(fft_len: int) -> bool:
+    import os
+
+    flag = os.environ.get("AVLEN_MATMUL_IRFFT", "auto")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    return jax.default_backend() not in ("cpu",) and fft_len >= 4096
+
+
 def _convolve_from_fft(
-    seg_f: jax.Array,
-    rir_f: jax.Array,
+    prod: jax.Array,
     rir_len: int,
     sampling_rate: int,
     fft_len: int,
 ) -> jax.Array:
-    """(B, F) segment rFFTs × (B, F, 2) RIR rFFTs → (B, 2, sr) valid windows."""
-    conv = jnp.fft.irfft(seg_f[:, :, None] * rir_f, n=fft_len, axis=1)  # (B, fft_len, 2)
-    valid = jax.lax.dynamic_slice_in_dim(conv, rir_len - 1, sampling_rate, axis=1)
-    return valid.swapaxes(1, 2)  # (B, 2, sr)
+    """(B, 2, F) product spectra (seg_f × rir_f) → (B, 2, sr) valid windows.
+
+    Channel-major so the irfft runs along the MINOR axis: XLA:TPU lowers a
+    non-minor-axis FFT to a custom-call with a transposed layout constraint
+    and inserts a full copy of the (B, fft_len, 2) time-domain output (~13%
+    of the non-banked superstep's device time in the r4 profile). On TPU the
+    inverse transform itself runs as MXU matmuls over only the valid window
+    (partial_irfft_matmul); elsewhere as the FFT custom-call + slice."""
+    if _use_matmul_irfft(fft_len):
+        return partial_irfft_matmul(prod, fft_len, rir_len - 1, sampling_rate)
+    conv = jnp.fft.irfft(prod, n=fft_len, axis=-1)  # (B, 2, fft_len)
+    return jax.lax.dynamic_slice_in_dim(conv, rir_len - 1, sampling_rate, axis=2)
 
 
 @functools.partial(jax.jit, static_argnames=("sampling_rate", "rir_len"))
@@ -181,13 +281,25 @@ def binaural_convolve(
       sampling_rate: output samples per window.
       seg_f: optional precomputed (B, F) segment rFFTs (SceneBank
         sound_fft_bank gathers) — skips the per-step segment gather + rFFT.
-      rir_f: optional (B, F) × 2-channel complex RIR spectra at the
+      rir_f: optional (B, 2, F) channel-major complex RIR spectra at the
         convolution FFT length (ProceduralRIRBank.gather_fft) — skips the
         per-step RIR rFFT entirely; requires static ``rir_len`` (= L).
 
     Returns: (B, 2, sampling_rate) audio, equal to the reference's
     ``_compute_audiogoal`` branches (simulator.py:659-680) for every window.
     """
+    prod, l, fft_len = _product_spectrum(
+        sound_padded, window_start, rir, sampling_rate, seg_f, rir_f, rir_len
+    )
+    return _convolve_from_fft(prod, l, sampling_rate, fft_len)
+
+
+def _product_spectrum(
+    sound_padded, window_start, rir, sampling_rate, seg_f, rir_f, rir_len
+):
+    """(B, 2, F) product spectrum seg_f × rir_f (+ the L, fft_len statics) —
+    split out so render_audiogoal can SUM goal+distractor spectra and pay
+    ONE inverse transform (convolution is linear)."""
     l = int(rir.shape[1]) if rir is not None else int(rir_len)
     seg_len = sampling_rate + l - 1
     fft_len = _conv_fft_len(sampling_rate, l)
@@ -200,8 +312,12 @@ def binaural_convolve(
         seg = jnp.take_along_axis(sound_padded, idx, axis=-1)  # (B, seg_len)
         seg_f = jnp.fft.rfft(seg.astype(jnp.float32), n=fft_len, axis=-1)  # (B, F)
     if rir_f is None:
-        rir_f = jnp.fft.rfft(rir.astype(jnp.float32), n=fft_len, axis=1)  # (B, F, 2)
-    return _convolve_from_fft(seg_f, rir_f, l, sampling_rate, fft_len)
+        # channel-major (B, 2, F): FFT along the minor axis (see
+        # _convolve_from_fft's layout note)
+        rir_f = jnp.fft.rfft(
+            rir.swapaxes(1, 2).astype(jnp.float32), n=fft_len, axis=-1
+        )
+    return seg_f[:, None, :] * rir_f, l, fft_len
 
 
 @functools.partial(
@@ -235,15 +351,20 @@ def render_audiogoal(
     """
     cfg = config or SpectrogramConfig(sampling_rate=sampling_rate)
     start = audio_index * sampling_rate
-    audio = binaural_convolve(
-        sound_padded, start, rir, sampling_rate, seg_f=seg_f, rir_f=rir_f, rir_len=rir_len
+    prod, l, fft_len = _product_spectrum(
+        sound_padded, start, rir, sampling_rate, seg_f, rir_f, rir_len
     )
     if has_distractor:
+        # convolution is linear: sum the goal+distractor product spectra and
+        # pay ONE inverse transform (both share fft_len/rir_len — same bank)
         dstart = jnp.zeros_like(start)
-        audio = audio + binaural_convolve(
+        dprod, dl, dfft = _product_spectrum(
             distractor_sound_padded, dstart, distractor_rir, sampling_rate,
-            seg_f=distractor_seg_f, rir_f=distractor_rir_f, rir_len=rir_len,
+            distractor_seg_f, distractor_rir_f, rir_len,
         )
+        assert (dl, dfft) == (l, fft_len)
+        prod = prod + dprod
+    audio = _convolve_from_fft(prod, l, sampling_rate, fft_len)
     audio = jnp.where(active[:, None, None], audio, 0.0)
     spec = spectrogram_from_audiogoal(audio, cfg)
     return audio, spec

@@ -56,7 +56,7 @@ class ProceduralRIRBank:
     (``tail_fft``), the provider serves BOTH representations:
 
     * ``gather``     → (B, L, 2) time-domain RIRs (dense-bank interface), and
-    * ``gather_fft`` → (B, F, 2) complex spectra, *exactly* equal to
+    * ``gather_fft`` → (B, 2, F) channel-major complex spectra, *exactly* equal to
       ``rfft(gather(...), n=fft_len)`` but with no per-step FFT: the delay
       shift is an analytic phase ramp and the tail spectrum is a table
       lookup. The per-step audio path (ops/audio.binaural_convolve) then
@@ -83,7 +83,7 @@ class ProceduralRIRBank:
     tail_tau_s: float = 0.15
     num_tails: int = 64
     tail_noise: Optional[jax.Array] = None  # (P, L, 2) envelope-weighted tails
-    tail_fft: Optional[jax.Array] = None  # (2, P, F, 2) f32 re/im of rFFTs at fft_len
+    tail_fft: Optional[jax.Array] = None  # (2, P, 2ch, F) f32 re/im of rFFTs at fft_len
     itd_phase: Optional[jax.Array] = None  # (2, itd_cap+1, F) f32 re/im phase ramps
 
     @property
@@ -117,7 +117,11 @@ class ProceduralRIRBank:
             j = jnp.arange(self.length)[None, :, None].astype(jnp.float32)
             env = jnp.exp(-j / tau) * (j < support)
             tails = noise * env  # (P, L, 2)
-            tfft = jnp.fft.rfft(tails, n=n, axis=1)
+            # channel-major (P, 2, F): the per-step gather then lands in the
+            # layout the channel-major audio path consumes directly — stored
+            # (P, F, 2) the gathered 33 MB table slice needed a strided
+            # layout-copy EVERY env step (~3 ms/step in the r4 trace)
+            tfft = jnp.fft.rfft(tails.swapaxes(1, 2), n=n, axis=-1)  # (P, 2, F)
             tfft = jnp.stack([jnp.real(tfft), jnp.imag(tfft)]).astype(jnp.float32)
             offs = jnp.arange(self.itd_cap + 1)[:, None]
             f = jnp.arange(n // 2 + 1)[None, :]
@@ -185,7 +189,11 @@ class ProceduralRIRBank:
         return rir
 
     def gather_fft(self, scene, az_idx, recv, src):
-        """(B,) indices → (B, F, 2) complex64 == rfft(gather(...), fft_len).
+        """(B,) indices → (B, 2, F) complex64 == rfft(gather(...), fft_len)
+        per channel, channel-major so the downstream irfft runs along the
+        minor axis (a non-minor FFT axis forces XLA:TPU to insert a full
+        layout copy of the (B, fft_len, 2) time-domain output — ~13% of the
+        non-banked superstep's device time in the r4 profile).
 
         Complex values exist only inside the traced program (lax.complex on
         the f32 re/im tables) — see the class docstring's axon note."""
@@ -200,11 +208,11 @@ class ProceduralRIRBank:
         itd_r = jnp.maximum(itd, 0)
         ph_l = ph * jax.lax.complex(self.itd_phase[0, itd_l], self.itd_phase[1, itd_l])
         ph_r = ph * jax.lax.complex(self.itd_phase[0, itd_r], self.itd_phase[1, itd_r])
-        tfft = jax.lax.complex(self.tail_fft[0, tail_id], self.tail_fft[1, tail_id])
-        tail = tfft * (ph * (jitter * self.tail_scale * amp)[:, None])[:, :, None]  # (B, F, 2)
-        out_l = tail[:, :, 0] + (amp * g_l)[:, None] * ph_l
-        out_r = tail[:, :, 1] + (amp * g_r)[:, None] * ph_r
-        return jnp.stack([out_l, out_r], axis=-1)
+        tfft = jax.lax.complex(self.tail_fft[0, tail_id], self.tail_fft[1, tail_id])  # (B, 2, F)
+        tail = tfft * (ph * (jitter * self.tail_scale * amp)[:, None])[:, None, :]  # (B, 2, F)
+        ph_lr = jnp.stack([ph_l, ph_r], axis=1)  # (B, 2, F)
+        gains = jnp.stack([amp * g_l, amp * g_r], axis=1)[:, :, None]  # (B, 2, 1)
+        return tail + gains * ph_lr
 
 
 @dataclasses.dataclass

@@ -1,19 +1,27 @@
-"""Seeded SPL-parity evidence run (VERDICT r1 item 9).
+"""Seeded parity-evidence run: the full staged AVLEN recipe + the paper's
+qualitative table (VERDICT r3 #5; originally r1 item 9).
 
-Runs the full staged AVLEN recipe (SURVEY.md §2.8) at medium scale on a
-FIXED synthetic world with a FIXED seed, scrapes the training curves
-(Metrics/success, Metrics/spl, Metrics/reward, query stats, policy losses)
-out of the TensorBoard event files, and commits them as
-``runs/parity_r2/curves.npz`` + ``summary.json`` so later rounds can compare
-semantics changes against a pinned baseline.
+Runs the staged recipe (SURVEY.md §2.8) at medium scale on a FIXED synthetic
+world with a FIXED seed — belief pretraining → SAVi SMT pretrain (memory 1)
+→ SAVi finetune (memory 30, online belief) → π_l dialog pretraining →
+**neural speaker training** → AVLEN interactive (neural speaker serving the
+instruction channel, as the reference's pretrained snapshot does,
+speaker_pipeline.py:27) — then reproduces the paper's Table-1-shaped
+protocol on the final checkpoints:
 
-The reference recipe's own budget is 3000 updates × 6 envs × 150 steps per
-stage on 4 GPUs (savi_interactive_1st_stage.yaml:7-9); this evidence run
-uses the same staged structure at reduced update counts sized for a single
-chip. Usage:
+* heard/unheard sound splits (DATASET.HELD_OUT_SOUNDS + env.eval_consts,
+  semantic_audionav_task.py:222-224),
+* the query-strategy comparison ours/random/uniform/jask
+  (ppo_trainer.py:1333-1356) with SR/SPL/SNA/mean-queries per cell,
+* a goal-only (SAVi, no-query) row for the interactive-beats-goal-only
+  comparison.
 
-    python scripts/run_parity_evidence.py [--workdir runs/parity_r2]
-        [--scale 1.0]
+Training curves are scraped from the TB event files into ``curves.npz``;
+the table and stage finals go to ``summary.json``.
+
+Usage:
+    python scripts/run_parity_evidence.py [--workdir runs/parity_r3]
+        [--scale 1.0] [--seed 7]
 """
 
 from __future__ import annotations
@@ -47,9 +55,12 @@ def scrape_tb(event_dir: str):
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--workdir", default="runs/parity_r2")
+    p.add_argument("--workdir", default="runs/parity_r3")
     p.add_argument("--scale", type=float, default=1.0, help="update-count multiplier")
     p.add_argument("--seed", type=int, default=7)
+    p.add_argument("--eval-count", type=int, default=100,
+                   help="episodes per eval-table cell (reference protocol: "
+                   "full split, savi/config/default.py:348-362)")
     args = p.parse_args()
     w = args.workdir
     os.makedirs(w, exist_ok=True)
@@ -74,7 +85,18 @@ def main() -> None:
         "TASK_CONFIG.DATASET.SYNTHETIC.NUM_EPISODES", "300",
         "TASK_CONFIG.DATASET.SYNTHETIC.MIN_HOPS", "1",
         "TASK_CONFIG.DATASET.SYNTHETIC.MAX_HOPS", "8",
+        "TASK_CONFIG.DATASET.SYNTHETIC.NUM_SOUNDS", "4",
+        # heard/unheard protocol: sound 3 never trains; unheard evals remap
+        # every episode onto it via env.eval_consts (sim/env.py:290-306)
+        "TASK_CONFIG.DATASET.HELD_OUT_SOUNDS", "[3]",
         "TASK_CONFIG.SIMULATOR.AUDIO.RIR_SAMPLING_RATE", "8000",
+        # full recipe sensor suite (semantic_audiogoal.yaml TASK.SENSORS):
+        # online belief training needs the pointgoal sensor for the
+        # location-head regression target (savi.py _belief_location_target)
+        "TASK_CONFIG.TASK.SENSORS",
+        "['SPECTROGRAM_SENSOR','CATEGORY','CATEGORY_BELIEF','LOCATION_BELIEF',"
+        "'POSE_SENSOR','COLLISION','ORACLE_ACTION_SENSOR',"
+        "'POINTGOAL_WITH_GPS_COMPASS_SENSOR']",
         "TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS", "40",
         "NUM_PROCESSES", "32",
         "LOG_INTERVAL", "10",
@@ -95,7 +117,7 @@ def main() -> None:
         registry.get_trainer(trainer_name)(cfg).train()
         for tag, (steps, vals) in scrape_tb(cfg.TENSORBOARD_DIR).items():
             curves[f"{stage}/{tag}"] = (steps, vals)
-        print(f"[parity] stage {stage} done")
+        print(f"[parity] stage {stage} done", flush=True)
 
     # stage 0: offline belief (audiogoal predictor) pretraining on the
     # SAME world bank (the recipe's pretraining stage, SURVEY.md §2.8)
@@ -103,13 +125,13 @@ def main() -> None:
     from avlen_tpu.sim.builder import build_world_from_config
 
     cfg0 = get_config(opts=world, model_dir=os.path.join(w, "belief"))
-    bank0, _, _ = build_world_from_config(cfg0, with_rgb=False, with_depth=False)
+    bank0, tables0, _ = build_world_from_config(cfg0, with_rgb=False, with_depth=False)
     train_audiogoal_predictor(
         bank0, num_steps=int(300 * args.scale), batch=64,
         checkpoint_dir=os.path.join(w, "belief"), log_interval=100,
     )
     belief_ckpt = os.path.join(w, "belief", "label_predictor.pth")
-    print("[parity] stage belief_pretrain done")
+    print("[parity] stage belief_pretrain done", flush=True)
 
     # stage 1: SAVi SMT pretraining (memory 1)
     run("savi_pretrain", "savi", [
@@ -142,9 +164,20 @@ def main() -> None:
     ], os.path.join(w, "vln"))
     vln_ckpt = sorted(glob.glob(os.path.join(w, "vln", "data", "vln", "ckpt.*.pth")))[-1]
 
-    # stage 4: AVLEN interactive (pi_q PPO + pi_l replay)
-    run("interactive", "ddppo", [
-        "NUM_UPDATES", n(200),
+    # stage 4: neural speaker — the snapshot the interactive stage loads,
+    # exactly as the reference always loads its pretrained speaker
+    # (speaker_pipeline.py:27) and invokes it per query
+    # (ppo_trainer.py:549-562)
+    from avlen_tpu.dialog.speaker.train_speaker import train_speaker
+
+    train_speaker(
+        tables0, num_steps=int(400 * args.scale), batch=32, hidden_size=128,
+        checkpoint_dir=os.path.join(w, "speaker"),
+    )
+    speaker_ckpt = os.path.join(w, "speaker", "speaker.pth")
+    print("[parity] stage speaker done", flush=True)
+
+    interactive_opts = [
         "RL.PPO.policy_type", "interactive",
         "RL.PPO.SCENE_MEMORY_TRANSFORMER.memory_size", "30",
         "RL.PPO.use_belief_predictor", "True",
@@ -152,7 +185,70 @@ def main() -> None:
         "REPLAY_STORE", "True",
         "GOAL_CKPT_PATH", goal_ckpt,
         "VLN_CKPT_PATH", vln_ckpt,
-    ], os.path.join(w, "avlen"))
+        "SPEAKER.BACKEND", "neural",
+        "SPEAKER.CKPT_PATH", speaker_ckpt,
+    ]
+
+    # stage 5: AVLEN interactive (pi_q PPO + pi_l replay, neural speaker)
+    run("interactive", "ddppo", interactive_opts + ["NUM_UPDATES", n(200)],
+        os.path.join(w, "avlen"))
+    avlen_ckpt = sorted(glob.glob(os.path.join(w, "avlen", "data", "ckpt.*.pth")))[-1]
+
+    # ------------------------------------------------------------------
+    # the paper's qualitative table: query strategies × heard/unheard
+    # (ppo_trainer.py:1333-1356; eval episode protocol
+    # savi/config/default.py:348-362) + a goal-only SAVi row
+    # ------------------------------------------------------------------
+    from avlen_tpu.utils.tb import TensorboardWriter
+
+    eval_count = ["TEST_EPISODE_COUNT", str(args.eval_count), "VIDEO_OPTION", "[]"]
+    table = {}
+    for qs in ("ours", "random", "uniform", "jask"):
+        for sound in ("heard", "unheard"):
+            cfg = get_config(
+                opts=world + interactive_opts + eval_count + [
+                    "NUM_UPDATES", "1",
+                    "QS_METHOD", qs,
+                    "SOUND_TYPE", sound,
+                ],
+                model_dir=os.path.join(w, "eval", f"{qs}_{sound}"),
+            )
+            trainer = registry.get_trainer("ddppo")(cfg)
+            trainer.ensure_setup()
+            with TensorboardWriter(None) as writer:
+                means = trainer._eval_checkpoint(avlen_ckpt, writer, 0)
+            table[f"{qs}/{sound}"] = {
+                "success": means.get("success"),
+                "spl": means.get("spl"),
+                "sna": means.get("sna"),
+                "mean_queries": means.get("query_count"),
+                "episodes": means.get("episodes_evaluated"),
+            }
+            print(f"[parity] eval {qs}/{sound}: {table[f'{qs}/{sound}']}", flush=True)
+
+    for sound in ("heard", "unheard"):
+        cfg = get_config(
+            opts=world + eval_count + [
+                "NUM_UPDATES", "1",
+                "RL.PPO.SCENE_MEMORY_TRANSFORMER.memory_size", "30",
+                "RL.PPO.use_belief_predictor", "True",
+                "RL.PPO.BELIEF_PREDICTOR.pretrained_path", belief_ckpt,
+                "SOUND_TYPE", sound,
+            ],
+            model_dir=os.path.join(w, "eval", f"goalonly_{sound}"),
+        )
+        trainer = registry.get_trainer("savi")(cfg)
+        trainer.ensure_setup()
+        with TensorboardWriter(None) as writer:
+            means = trainer._eval_checkpoint(goal_ckpt, writer, 0)
+        table[f"goal_only/{sound}"] = {
+            "success": means.get("success"),
+            "spl": means.get("spl"),
+            "sna": means.get("sna"),
+            "mean_queries": 0.0,
+            "episodes": means.get("episodes_evaluated"),
+        }
+        print(f"[parity] eval goal_only/{sound}: {table[f'goal_only/{sound}']}", flush=True)
 
     # persist curves + summary
     npz = {}
@@ -171,6 +267,7 @@ def main() -> None:
     summary = {
         "seed": args.seed,
         "scale": args.scale,
+        "recipe": "belief → savi_pretrain → savi_finetune → dialog → speaker → interactive(neural speaker)",
         "savi_finetune": {
             "success": final("savi_finetune", "Metrics/success"),
             "spl": final("savi_finetune", "Metrics/spl"),
@@ -181,10 +278,11 @@ def main() -> None:
             "spl": final("interactive", "Metrics/spl"),
             "reward": final("interactive", "Metrics/reward"),
         },
+        "eval_table": table,
     }
     with open(os.path.join(w, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
-    print("[parity] summary:", json.dumps(summary))
+    print("[parity] summary:", json.dumps(summary), flush=True)
 
 
 if __name__ == "__main__":

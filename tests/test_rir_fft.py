@@ -39,8 +39,8 @@ def test_gather_fft_equals_rfft_of_gather():
     src = jnp.asarray(rng.randint(0, n, b))
 
     t = np.asarray(rir.gather(scene, az, recv, src))  # (B, L, 2)
-    f = np.asarray(rir.gather_fft(scene, az, recv, src))  # (B, F, 2)
-    ref = np.fft.rfft(t, n=rir.fft_len, axis=1)
+    f = np.asarray(rir.gather_fft(scene, az, recv, src))  # (B, 2, F) channel-major
+    ref = np.fft.rfft(t.swapaxes(1, 2), n=rir.fft_len, axis=-1)
     scale = np.abs(ref).max()
     np.testing.assert_allclose(f, ref, atol=2e-4 * scale, rtol=0)
 
@@ -112,8 +112,8 @@ def test_env_uses_fft_path_and_matches_time_path():
 def test_fft_len_consistency():
     bank, _ = _bank(sr=2000, length=400)
     assert bank.rir.fft_len == _conv_fft_len(2000, 400)
-    # (2, P, F, 2) float32 re/im stack — complex64 never materialized
-    # (axon host<->device transfers of complex64 are UNIMPLEMENTED)
+    # (2, P, 2ch, F) float32 re/im stack, channel-major — complex64 never
+    # materialized (axon host<->device transfers of complex64 UNIMPLEMENTED)
     assert bank.rir.tail_fft.dtype == jnp.float32
-    f = bank.rir.tail_fft.shape[2]
+    f = bank.rir.tail_fft.shape[3]
     assert f == bank.rir.fft_len // 2 + 1
