@@ -210,12 +210,26 @@ def partial_irfft_matmul(
     def cplx(pair):
         return jax.lax.complex(jnp.asarray(pair[0]), jnp.asarray(pair[1]))
 
-    xk = spec[..., :h]
-    xr = jnp.conj(spec[..., 1 : h + 1][..., ::-1])  # X[H-k], k=0..H-1
-    packed = 0.5 * (xk + xr) + 0.5j * ((xk - xr) * cplx(c["pack"]))
-    c2 = packed.reshape(*packed.shape[:-1], n2, n1)
+    # Reshape to (n2, n1) blocks BEFORE the hermitian pack. The reshape is a
+    # bitcast (n1 stays minor), so XLA's layout assignment cannot propagate
+    # the stage-1 dot's transposed operand layout past it into the
+    # elementwise pack chain and up to the RIR-table gather — doing the pack
+    # first left a (2, B, 2, F) relayout copy at the gather, tiled T(8,128)
+    # over the (B, ch=2) minor dims, i.e. 64× tile padding: ~3 ms/env-step,
+    # the single largest op in the r4 superstep trace. Reversing the
+    # contiguous h-long slice X[1:h+1] is a double flip in (n2, n1) space:
+    # h-1-k = (n2-1-k2)·n1 + (n1-1-k1) for k = k2·n1 + k1.
+    xk = spec[..., :h].reshape(*spec.shape[:-1], n2, n1)
+    xr = jnp.conj(
+        jnp.flip(
+            spec[..., 1 : h + 1].reshape(*spec.shape[:-1], n2, n1),
+            axis=(-2, -1),
+        )
+    )  # X[H-k] at block (k2, k1)
+    pack2 = cplx(c["pack"]).reshape(n2, n1)
+    packed = 0.5 * (xk + xr) + 0.5j * ((xk - xr) * pack2)  # (..., n2, n1)
     # stage 1: n2-point DFTs per k1 column → (..., k1, m)
-    c1 = jnp.einsum("...ka,km->...am", c2, cplx(c["m"]), precision=hi)
+    c1 = jnp.einsum("...ka,km->...am", packed, cplx(c["m"]), precision=hi)
     d = cplx(c["tw"]) * c1
     # stage 2: only the j rows covering the window → (..., j, m)
     z = jnp.einsum("jk,...km->...jm", cplx(c["e2"]), d, precision=hi) / h
@@ -239,6 +253,24 @@ def _use_matmul_irfft(fft_len: int) -> bool:
     return jax.default_backend() not in ("cpu",) and fft_len >= 4096
 
 
+def _use_pallas_irfft(fft_len: int) -> bool:
+    """Fused Pallas partial-irfft kernel (ops/pallas_irfft.py) on real TPU
+    for tile-clean sizes; "auto" excludes CPU (no Mosaic) and the virtual
+    mesh. AVLEN_PALLAS_IRFFT=0/1 overrides for tests and A/B timing."""
+    import os
+
+    from avlen_tpu.ops import pallas_irfft
+
+    flag = os.environ.get("AVLEN_PALLAS_IRFFT", "auto")
+    if flag == "0":
+        return False
+    if not pallas_irfft.supported(fft_len):
+        return False
+    if flag == "1":
+        return True
+    return jax.default_backend() not in ("cpu",)
+
+
 def _convolve_from_fft(
     prod: jax.Array,
     rir_len: int,
@@ -253,6 +285,10 @@ def _convolve_from_fft(
     of the non-banked superstep's device time in the r4 profile). On TPU the
     inverse transform itself runs as MXU matmuls over only the valid window
     (partial_irfft_matmul); elsewhere as the FFT custom-call + slice."""
+    if _use_pallas_irfft(fft_len):
+        from avlen_tpu.ops.pallas_irfft import partial_irfft_pallas
+
+        return partial_irfft_pallas(prod, fft_len, rir_len - 1, sampling_rate)
     if _use_matmul_irfft(fft_len):
         return partial_irfft_matmul(prod, fft_len, rir_len - 1, sampling_rate)
     conv = jnp.fft.irfft(prod, n=fft_len, axis=-1)  # (B, 2, fft_len)
