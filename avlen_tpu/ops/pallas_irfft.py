@@ -97,27 +97,6 @@ def _irfft_kernel(
     *, rb: int, n1: int, n2: int,
 ):
     h = n1 * n2
-    # xk = X[k], k in [0, h): first h bins of the spectrum block
-    xk_re = sre_ref[:, :h].reshape(rb, n2, n1)
-    xk_im = sim_ref[:, :h].reshape(rb, n2, n1)
-    # conj(X[H-k]) with the reversal done outside: Q = conj(rev block)
-    q_re = rre_ref[:].reshape(rb, n2, n1)
-    q_im = rim_ref[:].reshape(rb, n2, n1)  # negated below (conj fold)
-
-    s_re = xk_re + q_re
-    s_im = xk_im - q_im
-    d_re = xk_re - q_re
-    d_im = xk_im + q_im
-    pc = pc_ref[:][None]  # (1, n2, n1)
-    ps = ps_ref[:][None]
-    # packed = 0.5*(xk + Q) + 0.5i * pack * (xk - Q)
-    pk_re = 0.5 * (s_re - pc * d_im - ps * d_re)
-    pk_im = 0.5 * (s_im + pc * d_re - ps * d_im)
-
-    mtr, mti = mtr_ref[:], mti_ref[:]  # (n1, n2)
-    twr, twi = twr_ref[:], twi_ref[:]  # (n1, n1) == (m, k1)
-    e2r, e2i = e2r_ref[:], e2i_ref[:]  # (n1, jp)
-
     f32 = jnp.float32
 
     def cdot(a_re, a_im, a_sum, b_re, b_im, b_sum):
@@ -132,9 +111,24 @@ def _irfft_kernel(
     mts = mtr + mti
     e2r, e2i = e2r_ref[:], e2i_ref[:]
     e2s = e2r + e2i
+    pc, ps = pc_ref[:], ps_ref[:]  # (n2, n1)
+    twr, twi = twr_ref[:], twi_ref[:]  # (n1, n1) == (m, k1)
 
+    # The hermitian pack runs PER ROW inside the loop: full-block pack
+    # temporaries (six (rb, n2, n1) f32 arrays) put the rb=8 / fft_len=2^16
+    # configuration 620 KB over the 16 MB scoped-VMEM limit; per-row they
+    # are (n2, n1) — under 1 MB live.
     for r in range(rb):
-        pr, pi = pk_re[r], pk_im[r]  # (n2, n1)
+        # xk = X[k], k in [0, h); Q = conj(X[H-k]) (reversal done outside)
+        xk_re = sre_ref[r, :h].reshape(n2, n1)
+        xk_im = sim_ref[r, :h].reshape(n2, n1)
+        q_re = rre_ref[r, :h].reshape(n2, n1)
+        q_im = rim_ref[r, :h].reshape(n2, n1)  # conj folded into signs below
+        d_re = xk_re - q_re
+        d_im = xk_im + q_im
+        # packed = 0.5*(xk + Q) + 0.5i * pack * (xk - Q)
+        pr = 0.5 * ((xk_re + q_re) - pc * d_im - ps * d_re)
+        pi = 0.5 * ((xk_im - q_im) + pc * d_re - ps * d_im)
         # stage 1 (transposed): c1t[m, k1] = Σ_k2 Mt[m, k2] · packed[k2, k1]
         # — Mt on the LEFT so the variable operand needs no transpose
         c1_re, c1_im = cdot(mtr, mti, mts, pr, pi, pr + pi)
@@ -175,12 +169,23 @@ def partial_irfft_pallas(
 
     lead = spec.shape[:-1]
     r = int(np.prod(lead)) if lead else 1
-    rb = 8 if r % 8 == 0 else (4 if r % 4 == 0 else 1)
+    # Mosaic requires the block sublane dim be a multiple of 8 or equal to
+    # the array dim. rb=8 + per-row pack temporaries fits the 16 MB
+    # scoped-VMEM limit at every fft_len this framework uses (full-block
+    # pack temps overflowed it by 620 KB at fft_len 2^16).
+    rb = 8 if r % 8 == 0 else r
     spec2 = spec.reshape(r, spec.shape[-1])
     s_re, s_im = jnp.real(spec2), jnp.imag(spec2)
-    # X[H-k] source, reversed outside the kernel (minor-axis XLA rev)
-    r_re = s_re[:, 1 : h + 1][:, ::-1]
-    r_im = s_im[:, 1 : h + 1][:, ::-1]
+    # X[H-k] source: reverse the FULL (h+1)-length axis outside the kernel
+    # (minor-axis XLA rev) — rev_full[k] = X[h-k], and the kernel's (rb, h)
+    # block reads exactly cols [0, h). Deliberately NOT the equivalent
+    # spec[:, 1:h+1][:, ::-1]: an odd-offset h-slice makes XLA partition
+    # every producer of the spectrum into [0,16384)+[16384,32768)+{32768}
+    # pieces, and it materialized the 1-element Nyquist piece by relayouting
+    # the whole 33 MB gather to F-major — the 921 ms copy, still present in
+    # the r4d trace. Full-length rev keeps every consumer full-width.
+    r_re = s_re[:, ::-1]
+    r_im = s_im[:, ::-1]
 
     def cst(pair):
         return (jnp.asarray(pair[0]), jnp.asarray(pair[1]))

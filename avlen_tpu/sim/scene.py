@@ -83,7 +83,7 @@ class ProceduralRIRBank:
     tail_tau_s: float = 0.15
     num_tails: int = 64
     tail_noise: Optional[jax.Array] = None  # (P, L, 2) envelope-weighted tails
-    tail_fft: Optional[jax.Array] = None  # (2, P, 2ch, F) f32 re/im of rFFTs at fft_len
+    tail_fft: Optional[jax.Array] = None  # (4, P, F) f32 planes re_l/re_r/im_l/im_r at fft_len
     itd_phase: Optional[jax.Array] = None  # (2, itd_cap+1, F) f32 re/im phase ramps
 
     @property
@@ -117,12 +117,19 @@ class ProceduralRIRBank:
             j = jnp.arange(self.length)[None, :, None].astype(jnp.float32)
             env = jnp.exp(-j / tau) * (j < support)
             tails = noise * env  # (P, L, 2)
-            # channel-major (P, 2, F): the per-step gather then lands in the
-            # layout the channel-major audio path consumes directly — stored
-            # (P, F, 2) the gathered 33 MB table slice needed a strided
-            # layout-copy EVERY env step (~3 ms/step in the r4 trace)
+            # stored as FOUR (P, F) planes [re_l, re_r, im_l, im_r]: every
+            # per-step gather is then plane[k, tail_id] — ONE offset dim,
+            # the same pattern as the itd_phase gathers. The previous
+            # (2, P, 2ch, F) packing (two offset dims: ch and F) made
+            # XLA:TPU relayout the whole constant table to F-major INSIDE
+            # the rollout scan body — a 33 MB tile-degenerate copy every
+            # env step (~3 ms/step, the largest op in the r4 traces, still
+            # present after the irfft became a pinned-layout Pallas call).
             tfft = jnp.fft.rfft(tails.swapaxes(1, 2), n=n, axis=-1)  # (P, 2, F)
-            tfft = jnp.stack([jnp.real(tfft), jnp.imag(tfft)]).astype(jnp.float32)
+            re, im = jnp.real(tfft), jnp.imag(tfft)
+            tfft = jnp.stack(
+                [re[:, 0], re[:, 1], im[:, 0], im[:, 1]]
+            ).astype(jnp.float32)  # (4, P, F)
             offs = jnp.arange(self.itd_cap + 1)[:, None]
             f = jnp.arange(n // 2 + 1)[None, :]
             ang = -2.0 * jnp.pi * ((offs * f) % n).astype(jnp.float32) / n
@@ -208,11 +215,15 @@ class ProceduralRIRBank:
         itd_r = jnp.maximum(itd, 0)
         ph_l = ph * jax.lax.complex(self.itd_phase[0, itd_l], self.itd_phase[1, itd_l])
         ph_r = ph * jax.lax.complex(self.itd_phase[0, itd_r], self.itd_phase[1, itd_r])
-        tfft = jax.lax.complex(self.tail_fft[0, tail_id], self.tail_fft[1, tail_id])  # (B, 2, F)
-        tail = tfft * (ph * (jitter * self.tail_scale * amp)[:, None])[:, None, :]  # (B, 2, F)
-        ph_lr = jnp.stack([ph_l, ph_r], axis=1)  # (B, 2, F)
-        gains = jnp.stack([amp * g_l, amp * g_r], axis=1)[:, :, None]  # (B, 2, 1)
-        return tail + gains * ph_lr
+        # per-channel (B, F) planes, stacked only at the very end: each
+        # table gather has ONE offset dim (see ensure_tables' layout note)
+        tf = self.tail_fft  # (4, P, F) re_l / re_r / im_l / im_r
+        t_l = jax.lax.complex(tf[0, tail_id], tf[2, tail_id])  # (B, F)
+        t_r = jax.lax.complex(tf[1, tail_id], tf[3, tail_id])
+        mod = ph * (jitter * self.tail_scale * amp)[:, None]  # (B, F)
+        rir_l = t_l * mod + (amp * g_l)[:, None] * ph_l
+        rir_r = t_r * mod + (amp * g_r)[:, None] * ph_r
+        return jnp.stack([rir_l, rir_r], axis=1)  # (B, 2, F)
 
 
 @dataclasses.dataclass

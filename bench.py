@@ -573,6 +573,12 @@ def main() -> None:
                 "all three numbers time the registry-built trainers' own "
                 "supersteps (run.py path); bf16 towers, donated carries"
             ),
+            "pallas_irfft": os.environ.get("AVLEN_PALLAS_IRFFT", "auto"),
+            "pallas_irfft_note": (
+                "non-banked audio inverse transform: fused Pallas kernel "
+                "(ops/pallas_irfft.py) — pack + 2-stage DFT in VMEM, pinned "
+                "layouts kill the r4 gather relayout copy"
+            ),
         },
     }
     print(json.dumps(out))

@@ -80,5 +80,73 @@ def main():
     print(f"== chain: {dt:.3f} ms/call  out{out.shape} backend={jax.default_backend()}")
 
 
+
+
+def probe_real_bank(iters: int = 20):
+    """Same probe through the REAL ProceduralRIRBank.gather_fft +
+    render_audiogoal path (the superstep's audio subgraph), with an HLO dump
+    to identify layout-forcing consumers."""
+    import jax
+    import jax.numpy as jnp
+
+    from avlen_tpu.ops.audio import SpectrogramConfig, render_audiogoal
+    from avlen_tpu.sim.synthetic import make_scene_bank
+
+    bank, _ = make_scene_bank(
+        np.random.RandomState(0), num_scenes=1, side=5, rir_length=16384,
+        sampling_rate=16000, num_sounds=2, with_frames=False,
+    )
+    bank.rir.ensure_tables()
+    B = 64
+    n = int(bank.tables["num_nodes"][0])
+    cfg = SpectrogramConfig(sampling_rate=bank.sampling_rate)
+
+    def step(node, goal, sound, t):
+        az = jnp.zeros((B,), jnp.int32)
+        rir_f = bank.rir.gather_fft(jnp.zeros((B,), jnp.int32), az, node, goal)
+        seg_f = None
+        if bank.sound_fft_bank is not None:
+            s_max = bank.sound_fft_bank.shape[1]
+            seg_f = bank.sound_fft_bank[sound, jnp.clip(t, 0, s_max - 1)]
+        audio, spec = render_audiogoal(
+            bank.sounds_padded[sound], t, None, jnp.ones((B,), bool),
+            bank.sampling_rate, config=cfg, rir_f=rir_f, seg_f=seg_f,
+            rir_len=bank.rir.length,
+        )
+        return audio, spec
+
+    fn = jax.jit(step)
+    key = np.random.RandomState(1)
+    node = jax.device_put(jnp.asarray(key.randint(0, n, B), jnp.int32))
+    goal = jax.device_put(jnp.asarray(key.randint(0, n, B), jnp.int32))
+    sound = jax.device_put(jnp.asarray(key.randint(0, 2, B), jnp.int32))
+    t = jax.device_put(jnp.zeros((B,), jnp.int32))
+    txt = fn.lower(node, goal, sound, t).compile().as_text()
+    print("== big relayout copies in HLO (real-bank path):")
+    for c in big_copies(txt):
+        print("  ", c)
+    # find tiny-slice fusions consuming big arrays
+    for m in re.finditer(r"%\S*fusion\S* = \S*\[([\d,]*)\][^\n]*fusion\(([^)]*)\)", txt):
+        outdims, ops = m.groups()
+        osz = np.prod([int(d) for d in outdims.split(",") if d]) if outdims else 1
+        if osz <= 1024 and "32769" in ops:
+            print("  tiny-slice consumer:", m.group(0)[:220])
+
+    out = fn(node, goal, sound, t)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(node, goal, sound, t)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / iters * 1e3
+    print(f"== real-bank render: {dt:.3f} ms/call")
+    return txt
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _s
+    if "--real-bank" in _s.argv:
+        txt = probe_real_bank()
+        open("/tmp/real_bank_hlo.txt", "w").write(txt)
+    else:
+        main()

@@ -115,5 +115,5 @@ def test_fft_len_consistency():
     # (2, P, 2ch, F) float32 re/im stack, channel-major — complex64 never
     # materialized (axon host<->device transfers of complex64 UNIMPLEMENTED)
     assert bank.rir.tail_fft.dtype == jnp.float32
-    f = bank.rir.tail_fft.shape[3]
+    f = bank.rir.tail_fft.shape[2]
     assert f == bank.rir.fft_len // 2 + 1
