@@ -76,10 +76,18 @@ class AudioNavDialogNet(nn.Module):
             dtype=self.dtype,
         )
 
+    def clip_embed(self, dialog_tokens: jnp.ndarray) -> jnp.ndarray:
+        """(B, 77) tokens → (B, clip_width) FROZEN CLIP text features.
+
+        Exposed so callers can run the (frozen, stop-gradient) tower ONCE
+        per trajectory row and reuse the embedding across the π_l replay-CE
+        epochs — re-running 12 transformer layers per evaluate_step was
+        ~17% of the interactive superstep's device time (r4 profile)."""
+        return jax.lax.stop_gradient(self.clip(dialog_tokens))
+
     def encode_dialog(self, dialog_tokens: jnp.ndarray) -> jnp.ndarray:
         """(B, 77) tokens → (B, d_model). CLIP runs frozen (policy.py:847-849)."""
-        emb = jax.lax.stop_gradient(self.clip(dialog_tokens))
-        return self.dialog_layer(emb)
+        return self.dialog_layer(self.clip_embed(dialog_tokens))
 
     def __call__(
         self,
@@ -91,12 +99,19 @@ class AudioNavDialogNet(nn.Module):
         state_memory_valid: jnp.ndarray,  # (B, Md)
         dialog_tokens: Optional[jnp.ndarray],  # (B, 77)
         agent_step: jnp.ndarray,  # (B,)
+        dialog_clip: Optional[jnp.ndarray] = None,  # (B, clip_width) precomputed
     ):
-        """Returns (x_att_dialog (B, d_model), features (B, F), x_att (B, d_model))."""
+        """Returns (x_att_dialog (B, d_model), features (B, F), x_att (B, d_model)).
+
+        ``dialog_clip``: optional precomputed frozen CLIP embedding (see
+        clip_embed) — skips the in-call text tower."""
         x = self.smt_net.get_features(obs, prev_actions)
         belief = self.smt_net.belief_goal(obs)
         x_att = self.smt_net.smt(x, memory_feats, memory_valid, goal=belief)
-        dialog_emb = self.encode_dialog(dialog_tokens) if dialog_tokens is not None else None
+        if dialog_clip is not None:
+            dialog_emb = self.dialog_layer(jax.lax.stop_gradient(dialog_clip))
+        else:
+            dialog_emb = self.encode_dialog(dialog_tokens) if dialog_tokens is not None else None
         goal = belief if belief is not None else jnp.zeros((x.shape[0], self.d_model), jnp.float32)
         x_att_dialog = self.dialog_state_encoder(
             x_att, state_memory, state_memory_valid, dialog_emb, agent_step, goal
@@ -114,14 +129,18 @@ class DialogPolicy(nn.Module):
         self.action_head = CategoricalHead(self.net.num_actions)
         self.critic = CriticHead()
 
+    def clip_embed(self, dialog_tokens):
+        return self.net.clip_embed(dialog_tokens)
+
     def act(
         self, obs, prev_actions, memory_feats, memory_valid,
         state_memory, state_memory_valid, dialog_tokens, agent_step,
-        key, deterministic: bool = False,
+        key, deterministic: bool = False, dialog_clip=None,
     ):
         att, x, x_att = self.net(
             obs, prev_actions, memory_feats, memory_valid,
             state_memory, state_memory_valid, dialog_tokens, agent_step,
+            dialog_clip=dialog_clip,
         )
         logits = self.action_head(att)
         value = self.critic(att)
@@ -131,10 +150,12 @@ class DialogPolicy(nn.Module):
     def evaluate_step(
         self, obs, prev_actions, memory_feats, memory_valid,
         state_memory, state_memory_valid, dialog_tokens, agent_step, actions,
+        dialog_clip=None,
     ):
         att, x, x_att = self.net(
             obs, prev_actions, memory_feats, memory_valid,
             state_memory, state_memory_valid, dialog_tokens, agent_step,
+            dialog_clip=dialog_clip,
         )
         logits = self.action_head(att)
         value = self.critic(att)

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Callable, Dict, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -197,7 +197,7 @@ def ppo_update_interactive(
 
 # ---------------------------------------------------------------------------
 def evaluate_dialog_sequence(
-    evaluate_step: Callable,  # (obs, pa, mf, mv, smf, smv, dialog, step, actions) -> (v, lp, ent, logits, x, x_att)
+    evaluate_step: Callable,  # (obs, pa, mf, mv, smf, smv, dialog, step, actions, dclip) -> (v, lp, ent, logits, x, x_att)
     traj_obs: Dict[str, jnp.ndarray],
     feat_vln: jnp.ndarray,
     feat_vln_dialog: jnp.ndarray,
@@ -207,28 +207,43 @@ def evaluate_dialog_sequence(
     actions: jnp.ndarray,
     initial_mem_vln: SMTMemory,
     initial_mem_vln_dialog: SMTMemory,
+    dialog_clip: Optional[jnp.ndarray] = None,  # (T, Bm, clip_width|0)
 ):
     prev_actions = traj_obs["__prev_action"]
     sensor_obs = {k: v for k, v in traj_obs.items() if not k.startswith("__")}
 
     evaluate_step = jax.checkpoint(evaluate_step)  # remat per scan step
 
+    # dialog_clip absent or width-0 -> legacy 9-arg evaluate_step contract
+    use_clip = dialog_clip is not None and dialog_clip.shape[-1] > 0
+
     def step(carry, inp):
         mem, smem = carry
-        obs_t, pa_t, f_t, fd_t, d_t, st_t, m_t, a_t = inp
+        if use_clip:
+            obs_t, pa_t, f_t, fd_t, d_t, dc_t, st_t, m_t, a_t = inp
+            extra = (dc_t,)
+        else:
+            obs_t, pa_t, f_t, fd_t, d_t, st_t, m_t, a_t = inp
+            extra = ()
         mem = reset_where(mem, m_t == 0)
         smem = reset_where(smem, m_t == 0)
         v, lp, ent, logits, _, x_att = evaluate_step(
-            obs_t, pa_t, mem.features, mem.valid, smem.features, smem.valid, d_t, st_t, a_t
+            obs_t, pa_t, mem.features, mem.valid, smem.features, smem.valid,
+            d_t, st_t, a_t, *extra,
         )
         mem = insert(mem, f_t)
         smem = insert(smem, fd_t)
         return (mem, smem), logits
 
+    xs = (
+        (sensor_obs, prev_actions, feat_vln, feat_vln_dialog, dialog,
+         dialog_clip, agent_step, masks_vln, actions)
+        if use_clip else
+        (sensor_obs, prev_actions, feat_vln, feat_vln_dialog, dialog,
+         agent_step, masks_vln, actions)
+    )
     _, logits = jax.lax.scan(
-        step,
-        (initial_mem_vln, initial_mem_vln_dialog),
-        (sensor_obs, prev_actions, feat_vln, feat_vln_dialog, dialog, agent_step, masks_vln, actions),
+        step, (initial_mem_vln, initial_mem_vln_dialog), xs
     )
     return logits
 
@@ -246,6 +261,7 @@ def evaluate_dialog_sequence_batched(
     initial_mem_vln_dialog: SMTMemory,
     chunk: int = 15,
     compute_dtype=None,
+    dialog_clip: Optional[jnp.ndarray] = None,
 ):
     """T-parallel evaluate_dialog_sequence: both π_l ring memories (state and
     dialog-state) reconstructed by gather (rl/rollout_smt.batched_ring_eval)."""
@@ -253,16 +269,26 @@ def evaluate_dialog_sequence_batched(
 
     sensor_obs = {k: v for k, v in traj_obs.items() if not k.startswith("__")}
 
+    use_clip = dialog_clip is not None and dialog_clip.shape[-1] > 0
+
     def eval_fn(inp, views):
-        obs_f, pa_f, d_f, st_f, a_f = inp
+        if use_clip:
+            obs_f, pa_f, d_f, dc_f, st_f, a_f = inp
+            extra = (dc_f,)
+        else:
+            obs_f, pa_f, d_f, st_f, a_f = inp
+            extra = ()
         (mem, mv), (smem, smv) = views
         _, _, _, logits, _, _ = evaluate_step(
-            obs_f, pa_f, mem, mv, smem, smv, d_f, st_f, a_f
+            obs_f, pa_f, mem, mv, smem, smv, d_f, st_f, a_f, *extra
         )
         return logits
 
     return batched_ring_eval(
         eval_fn,
+        (sensor_obs, traj_obs["__prev_action"], dialog, dialog_clip,
+         agent_step, actions)
+        if use_clip else
         (sensor_obs, traj_obs["__prev_action"], dialog, agent_step, actions),
         [
             (initial_mem_vln, feat_vln, masks_vln),
@@ -311,6 +337,7 @@ def dialog_supervised_update(
             traj["o_action"],
             traj["initial_memories"][2],
             traj["initial_memories"][3],
+            dialog_clip=traj.get("dialog_clip"),
         )
         o_action = traj["o_action"].astype(jnp.int32)
         sample_w = traj["o_mask"]

@@ -56,9 +56,12 @@ class QueryTrack(NamedTuple):
     last_query_step: jnp.ndarray  # (B,) i32
     query_count: jnp.ndarray  # (B,) i32
     current_dialog: jnp.ndarray  # (B, 77) i32
+    current_clip: jnp.ndarray  # (B, clip_width) f32 frozen CLIP emb of current_dialog
 
 
-def init_query_track(batch: int, context_length: int = 77) -> QueryTrack:
+def init_query_track(
+    batch: int, context_length: int = 77, clip_width: int = 512
+) -> QueryTrack:
     # distinct buffers per field: sharing one zeros array across leaves makes
     # donated supersteps fail with "donate the same buffer twice"
     z = lambda: jnp.zeros((batch,), jnp.int32)
@@ -69,6 +72,7 @@ def init_query_track(batch: int, context_length: int = 77) -> QueryTrack:
         last_query_step=z(),
         query_count=z(),
         current_dialog=jnp.zeros((batch, context_length), jnp.int32),
+        current_clip=jnp.zeros((batch, clip_width), jnp.float32),
     )
 
 
@@ -122,11 +126,17 @@ class InteractiveFns:
 
     act_option: Callable  # (obs, pa, mem_f, mem_v, qs, lqi, key) -> (a, lp, v, x_mem, logits, unct)
     act_goal: Callable  # (obs, pa, mem_f, mem_v, key) -> (a, lp, v, x, logits)
-    act_dialog: Callable  # (obs, pa, mem_f, mem_v, smem_f, smem_v, dialog, step, key) -> (a, lp, v, x, x_att, logits)
+    act_dialog: Callable  # (obs, pa, mem_f, mem_v, smem_f, smem_v, dialog, step, key[, dclip]) -> (a, lp, v, x, x_att, logits)
     value_option: Callable  # (obs, pa, mem_f, mem_v, qs, lqi) -> v
     oracle_action: Callable  # (env_state) -> (B,) i32
     env_step: Callable  # (env_state, actions, QueryInfo) -> (env_state, StepOutput)
     belief_fn: Optional[Callable] = None  # (belief_state, obs, new_ep) -> (state, cat, loc)
+    # (B, 77) tokens -> (B, clip_width) FROZEN CLIP text features. When set,
+    # the rollout runs the tower only on steps where some query starts
+    # (lax.cond), carries the embedding in QueryTrack, and stores it in the
+    # trajectory so the pi_l replay CE never re-runs the tower (~17% of the
+    # interactive superstep device time in the r4 profile).
+    clip_embed: Optional[Callable] = None
 
 
 def collect_rollout_interactive(
@@ -161,6 +171,7 @@ def collect_rollout_interactive(
             last_query_step=jnp.where(new_ep, 0, t.last_query_step),
             query_count=jnp.where(new_ep, 0, t.query_count),
             current_dialog=jnp.where(new_ep[:, None], 0, t.current_dialog),
+            current_clip=jnp.where(new_ep[:, None], 0, t.current_clip),
         )
         vln_reset = new_ep | (c.masks_vln == 0)
         mem_goal = reset_where(c.mem_goal, new_ep)
@@ -233,15 +244,27 @@ def collect_rollout_interactive(
         else:
             tokens = instr_bank[env_state.scene, env_state.node, env_state.rot, env_state.goal_node]
         current_dialog = jnp.where(newly[:, None], tokens, t.current_dialog)
+        if fns.clip_embed is not None:
+            # frozen tower runs only when some env's query starts this step
+            fresh_clip = jax.lax.cond(
+                jnp.any(newly),
+                lambda: fns.clip_embed(tokens).astype(t.current_clip.dtype),
+                lambda: t.current_clip,
+            )
+            current_clip = jnp.where(newly[:, None], fresh_clip, t.current_clip)
+        else:
+            current_clip = None
         agent_step = t.dialog_step
 
         # ---- goal and dialog policies (ppo_trainer.py:600-637)
         a_goal, lp_goal, v_goal, x_goal, logits_goal = fns.act_goal(
             obs, prev_action, mem_goal.features, mem_goal.valid, k2
         )
+        _dialog_extra = () if current_clip is None else (current_clip,)
         a_vln, lp_vln, v_vln, x_vln, x_att_dialog, logits_vln = fns.act_dialog(
             obs, prev_action, mem_vln.features, mem_vln.valid,
-            mem_vln_dialog.features, mem_vln_dialog.valid, current_dialog, agent_step, k3
+            mem_vln_dialog.features, mem_vln_dialog.valid, current_dialog,
+            agent_step, k3, *_dialog_extra,
         )
 
         o_action = fns.oracle_action(env_state)
@@ -281,6 +304,10 @@ def collect_rollout_interactive(
         queried_next = queried & ~window_over
         dialog_step3 = jnp.where(window_over, 0, dialog_step2)
         dialog_next = jnp.where(window_over[:, None], 0, current_dialog)
+        clip_next = (
+            jnp.where(window_over[:, None], 0, current_clip)
+            if current_clip is not None else t.current_clip
+        )
         masks_vln_next = jnp.where(window_over | out.done, 0.0, 1.0)
 
         track_next = QueryTrack(
@@ -290,6 +317,7 @@ def collect_rollout_interactive(
             last_query_step=last_query_step,
             query_count=query_count,
             current_dialog=dialog_next,
+            current_clip=clip_next,
         )
 
         new_c = InteractiveCarry(
@@ -318,6 +346,8 @@ def collect_rollout_interactive(
             feat_vln=x_vln,
             feat_vln_dialog=jax.lax.stop_gradient(x_att_dialog),
             dialog=current_dialog,
+            dialog_clip=(current_clip if current_clip is not None
+                         else jnp.zeros((b, 0), jnp.float32)),
             agent_step=agent_step,
             query_state=query_state,
             last_query_info=last_query_info,
@@ -366,6 +396,7 @@ def collect_rollout_dialog_pretrain(
     num_dialog_steps: int,
     num_steps: int,
     sub_instr_bank: Optional[jnp.ndarray] = None,
+    clip_embed: Optional[Callable] = None,
 ):
     """π_l pretraining rollout (DIALOG_TRAINING flow, ddppo_trainer.py:
     181-298, 881-891 + ppo_trainer.py:354-369): oracle actions drive the
@@ -409,9 +440,18 @@ def collect_rollout_dialog_pretrain(
         current_dialog = jnp.where(window_start[:, None], tokens, t.current_dialog)
         agent_step = jnp.where(new_ep, 0, t.dialog_step)
 
+        # window_start fires every few steps somewhere in the batch, so the
+        # tower runs unconditionally here (net-neutral for the rollout); the
+        # stored embedding spares the CE update from re-running it.
+        current_clip = (
+            clip_embed(current_dialog).astype(jnp.float32)
+            if clip_embed is not None else None
+        )
+        _dialog_extra = () if current_clip is None else (current_clip,)
         a_vln, lp, v, x_vln, x_att_dialog, logits = act_dialog(
             obs, prev_action, mem_vln.features, mem_vln.valid,
-            mem_vln_dialog.features, mem_vln_dialog.valid, current_dialog, agent_step, k1,
+            mem_vln_dialog.features, mem_vln_dialog.valid, current_dialog,
+            agent_step, k1, *_dialog_extra,
         )
         o_action = oracle_action(env_state)
         env_state2, out = env_step_noquery(env_state, o_action)
@@ -442,6 +482,8 @@ def collect_rollout_dialog_pretrain(
             feat_vln=x_vln,
             feat_vln_dialog=jax.lax.stop_gradient(x_att_dialog),
             dialog=current_dialog,
+            dialog_clip=(current_clip if current_clip is not None
+                         else jnp.zeros((current_dialog.shape[0], 0), jnp.float32)),
             agent_step=agent_step,
             o_action=o_action,
             o_mask=jnp.ones_like(o_action, jnp.float32),

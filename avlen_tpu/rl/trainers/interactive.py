@@ -237,6 +237,8 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
             mem_vln=mem_v,
             mem_vln_dialog=mem_vd,
             belief=init_belief_state(b),
+            # clip_width = CLIPTextEncoder.embed_dim (the text-projection
+            # output, fixed 512) -- NOT RL.PPO.CLIP_WIDTH (the tower width)
             track=init_query_track(b),
             key=key,
         )
@@ -261,10 +263,14 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
             def act_goal(obs, pa, mf, mv, key):
                 return goal_p.apply(pg, obs, pa, mf, mv, key, deterministic, method=SMTPolicy.act)
 
-            def act_dialog(obs, pa, mf, mv, smf, smv, dialog, step, key):
+            def act_dialog(obs, pa, mf, mv, smf, smv, dialog, step, key, dclip=None):
                 return dialog_p.apply(
-                    pd, obs, pa, mf, mv, smf, smv, dialog, step, key, deterministic, method=DialogPolicy.act
+                    pd, obs, pa, mf, mv, smf, smv, dialog, step, key, deterministic,
+                    dialog_clip=dclip, method=DialogPolicy.act
                 )
+
+            def clip_embed(tokens):
+                return dialog_p.apply(pd, tokens, method=DialogPolicy.clip_embed)
 
             def value_option(obs, pa, mf, mv, qs, lqi):
                 _, _, v, _, _, _ = option_p.apply(
@@ -289,6 +295,7 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
                 oracle_action=env.oracle_action,
                 env_step=env._step_impl,
                 belief_fn=belief_fn,
+                clip_embed=clip_embed,
             )
 
         instr_source = self.instr_source
@@ -329,10 +336,15 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
             )
 
         def update_l(pd, opt_state, traj, replay_only=True, grad_reduce=lambda g: g):
-            def evaluate_step(p, obs, pa, mf, mv, smf, smv, dialog, step, actions):
+            def evaluate_step(p, obs, pa, mf, mv, smf, smv, dialog, step, actions,
+                              dclip=None):
+                # width-0 = "no stored embedding" sentinel (scan xs cannot
+                # carry None): fall back to the in-call tower
+                if dclip is not None and dclip.shape[-1] == 0:
+                    dclip = None
                 return dialog_p.apply(
                     p, obs, pa, mf, mv, smf, smv, dialog, step, actions,
-                    method=DialogPolicy.evaluate_step,
+                    dialog_clip=dclip, method=DialogPolicy.evaluate_step,
                 )
 
             smt_cfg = cfg.RL.PPO.SCENE_MEMORY_TRANSFORMER
@@ -351,6 +363,7 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
                 fns.act_dialog, env._step_impl_noquery, env.oracle_action, fns.belief_fn,
                 carry, instr_bank_or_source(), cfg.NUM_DIALOG_STEPS, num_steps,
                 sub_instr_bank=binder.get("sub_instr_bank") if have_sub_instr else None,
+                clip_embed=fns.clip_embed,
             )
 
         def collect_bound(consts, pg, pd, po, pb, carry, deterministic=False):
@@ -637,6 +650,8 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
                 b, cfg.NUM_DIALOG_STEPS, cfg.RL.PPO.SCENE_MEMORY_TRANSFORMER.hidden_size
             ),
             belief=init_belief_state(b),
+            # clip_width = CLIPTextEncoder.embed_dim (the text-projection
+            # output, fixed 512) -- NOT RL.PPO.CLIP_WIDTH (the tower width)
             track=init_query_track(b),
             key=jax.random.key(cfg.SEED + 13),
         )
