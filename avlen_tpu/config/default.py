@@ -78,6 +78,10 @@ _C.TPU.ROLLOUT_CHUNK = 0
 # callbacks (this TPU); "on" forces it (CI coverage on CPU); "off" restores
 # the round-3 behavior (io_callback or error).
 _C.TPU.HOST_PREFETCH = "auto"
+# fused SMT-encode Pallas kernel (ops/pallas_smt.py): "auto" engages it on
+# TPU backends (the Mosaic kernel), "on" forces it everywhere (interpreter
+# off-TPU — tests only), "off" keeps the plain-XLA transformer stack.
+_C.TPU.PALLAS_SMT = "auto"
 
 # -- EVAL -------------------------------------------------------------------
 _C.EVAL = CN()
@@ -193,8 +197,11 @@ _C.SPEAKER = CN()
 _C.SPEAKER.BACKEND = "template"  # template | neural
 _C.SPEAKER.CKPT_PATH = ""  # neural speaker checkpoint (train_speaker output)
 _C.SPEAKER.USE_PANO_FEATURES = False  # heading-aligned panorama view features
-_C.SPEAKER.BANK_MODE = "auto"  # auto | bank | callback
+_C.SPEAKER.BANK_MODE = "auto"  # auto | bank | callback | cached
 _C.SPEAKER.MAX_BANK_NODES = 64  # auto: callback when a scene exceeds this
+# device token-cache capacity for the chunked-prefetch instruction source
+# (dialog/instr_prefetch.py — the callback-less real-scale path)
+_C.SPEAKER.CACHE_SLOTS = 4096
 
 # -- dialog / AVLEN ---------------------------------------------------------
 _C.DIALOG_TRAINING = False
@@ -404,6 +411,10 @@ _TC.DATASET.SYNTHETIC.RIR_LENGTH = 2000
 _TC.DATASET.SYNTHETIC.NUM_SOUNDS = 4
 _TC.DATASET.SYNTHETIC.SOUND_SECS = 1
 _TC.DATASET.SYNTHETIC.FRAME_RES = 64
+# re-serve the procedural RIRs through the mmap HostRIRStore (as ingested
+# reference data is) — config-only route to the host-served audio paths
+# (io_callback / chunked prefetch) at any synthetic scale (sim/builder.py)
+_TC.DATASET.SYNTHETIC.PACK_HOST_RIRS = False
 _TC.DATASET.SYNTHETIC.MIN_HOPS = 2
 _TC.DATASET.SYNTHETIC.MAX_HOPS = 40
 _TC.DATASET.SYNTHETIC.SEED = 0

@@ -113,25 +113,32 @@ def _pad_pow2(n: int) -> int:
     return p
 
 
-class HostRIRPrefetcher:
-    """Host-side planner/refresher/verifier for an AssocRIRCache.
+class HostPairPrefetcher:
+    """Generic host-side planner/refresher/verifier for a device-resident
+    associative (scene, a∈[0,4), node, src) → payload cache.
 
     Owns the host mirror of the cache (key → slot map, LRU clocks) plus host
     copies of the hops table and the packed episode fields it needs to
-    predict upcoming pairs. All per-refresh work is numpy-vectorized; the
-    mmap reads go through ``HostRIRStore.gather_host``.
+    predict upcoming pairs. All per-refresh work is numpy-vectorized.
+
+    Two concrete uses share this machinery because their key spaces are
+    isomorphic: binaural RIRs keyed by (scene, azimuth, receiver, source)
+    — `HostRIRPrefetcher` — and oracle speaker instructions keyed by
+    (scene, rot, node, goal) — `dialog.instr_prefetch.HostInstrPrefetcher`.
+    Subclasses provide ``make_cache`` (the empty device cache), ``_fetch``
+    (host payload lookup for a batch of unpacked keys) and
+    ``requested_keys`` (extraction of the pairs a chunk actually consumed
+    from its recorded trajectory metrics).
     """
 
     def __init__(
         self,
-        store,  # HostRIRStore (data/reference.py) — host side only
         hops: np.ndarray,  # (S, N, N) host hop table (UNREACHABLE = large)
         packed_eps: Dict[str, np.ndarray],  # scene/start_node/goal_node/distractor_node
         capacity: int = 4096,
         lookahead_episodes: int = 2,
         has_distractor: bool = False,
     ):
-        self.store = store
         self.hops = np.asarray(hops)
         self.n_max = int(self.hops.shape[1])
         self.eps = {
@@ -165,53 +172,55 @@ class HostRIRPrefetcher:
         scene = rest // 4
         return scene, az, recv, src
 
-    def make_cache(self) -> AssocRIRCache:
-        return AssocRIRCache.create(self.capacity, self.store.length, self.n_max)
+    # -- subclass hooks -----------------------------------------------------
+    def make_cache(self):
+        raise NotImplementedError
+
+    def _fetch(self, scene, az, recv, src) -> np.ndarray:
+        """(k,) unpacked keys → (k, ...) payload rows (host side)."""
+        raise NotImplementedError
+
+    def requested_keys(self, metrics: Dict[str, np.ndarray]) -> np.ndarray:
+        raise NotImplementedError
 
     # -- planning ---------------------------------------------------------
-    def _episode_pairs(self, scene: int, node: int, goal: int, distractor: int, radius: int) -> np.ndarray:
-        """Packed keys for every pair reachable within ``radius`` moves."""
-        ball = np.flatnonzero(self.hops[scene, node] <= radius)
-        if ball.size == 0:
-            ball = np.asarray([node])
-        srcs = [goal] + ([distractor] if (self.has_distractor and distractor >= 0) else [])
-        az = np.arange(4)
-        recv = np.repeat(ball, 4)
-        azr = np.tile(az, ball.size)
-        keys = [
-            self._pack(np.full(recv.shape, scene, np.int64), azr, recv, np.full(recv.shape, s, np.int64))
-            for s in srcs
-        ]
-        return np.concatenate(keys) if keys else np.zeros((0,), np.int64)
-
     def plan(self, env_state_host: Dict[str, np.ndarray], radius: int) -> np.ndarray:
         """All packed pair keys the next chunk may request, per the current
-        states plus each slot's next ``lookahead`` dealt episodes."""
-        scene = env_state_host["scene"]
-        node = env_state_host["node"]
-        goal = env_state_host["goal_node"]
-        distractor = env_state_host["distractor_node"]
-        ep_order = env_state_host["ep_order"]  # (B, P)
-        cursor = env_state_host["cursor"]  # (B,)
+        states plus each slot's next ``lookahead`` dealt episodes.
+
+        Fully numpy-vectorized (VERDICT r4 #5 — the per-env Python loop was
+        measurable host time at recipe shapes): one fancy-indexed
+        (K, N) ball lookup over all K = B·(1+lookahead) episode descriptors,
+        then broadcasted key packing over hits × 4 azimuths × sources.
+        """
+        scene = np.asarray(env_state_host["scene"], np.int64)
+        node = np.asarray(env_state_host["node"], np.int64)
+        goal = np.asarray(env_state_host["goal_node"], np.int64)
+        distractor = np.asarray(env_state_host["distractor_node"], np.int64)
+        ep_order = np.asarray(env_state_host["ep_order"])  # (B, P)
+        cursor = np.asarray(env_state_host["cursor"])  # (B,)
         b = scene.shape[0]
         per = ep_order.shape[1]
-        out: List[np.ndarray] = []
-        for i in range(b):
-            out.append(
-                self._episode_pairs(int(scene[i]), int(node[i]), int(goal[i]), int(distractor[i]), radius)
-            )
-            for li in range(1, self.lookahead + 1):
-                ep = int(ep_order[i, (int(cursor[i]) + li) % per])
-                out.append(
-                    self._episode_pairs(
-                        int(self.eps["scene"][ep]),
-                        int(self.eps["start_node"][ep]),
-                        int(self.eps["goal_node"][ep]),
-                        int(self.eps["distractor_node"][ep]),
-                        radius,
-                    )
-                )
-        return np.unique(np.concatenate(out)) if out else np.zeros((0,), np.int64)
+        # (B, lookahead) upcoming episode ids of each slot's dealt stream
+        li = np.arange(1, self.lookahead + 1)
+        nxt = ep_order[np.arange(b)[:, None], (cursor[:, None] + li[None, :]) % per]
+        nxt = nxt.ravel()
+        d_scene = np.concatenate([scene, self.eps["scene"][nxt].astype(np.int64)])
+        d_node = np.concatenate([node, self.eps["start_node"][nxt].astype(np.int64)])
+        d_goal = np.concatenate([goal, self.eps["goal_node"][nxt].astype(np.int64)])
+        d_dist = np.concatenate([distractor, self.eps["distractor_node"][nxt].astype(np.int64)])
+
+        reach = self.hops[d_scene, d_node] <= radius  # (K, N) graph balls
+        reach[np.arange(d_scene.size), d_node] = True  # standing node always
+        ri, recv = np.nonzero(reach)
+        az = np.arange(4, dtype=np.int64)
+        ka = (d_scene[ri, None] * 4 + az[None, :]) * self.n_max + recv[:, None]
+        keys = [(ka * self.n_max + d_goal[ri, None]).ravel()]
+        if self.has_distractor:
+            m = d_dist[ri] >= 0
+            if m.any():
+                keys.append((ka[m] * self.n_max + d_dist[ri][m, None]).ravel())
+        return np.unique(np.concatenate(keys))
 
     # -- cache maintenance --------------------------------------------------
     def ensure(self, cache: AssocRIRCache, keys: np.ndarray) -> AssocRIRCache:
@@ -255,7 +264,7 @@ class HostRIRPrefetcher:
             slots = np.concatenate([slots, victims])
 
         scene, az, recv, src = self._unpack(missing)
-        rirs = self.store.gather_host(scene, az, recv, src)  # (k, L, 2)
+        rirs = self._fetch(scene, az, recv, src)  # (k, ...) payload rows
 
         # mirror update
         for s, k in zip(slots, missing):
@@ -280,7 +289,36 @@ class HostRIRPrefetcher:
         )
         self.uploads += 1
         self.uploaded_entries += int(k)
-        return AssocRIRCache(key_a, key_b, buf, cache.n_max, cache.length)
+        return dataclasses.replace(cache, key_a=key_a, key_b=key_b, buf=buf)
+
+    def missing_of(self, requested: np.ndarray) -> np.ndarray:
+        return np.asarray(
+            [k for k in requested if int(k) not in self.key_to_slot], np.int64
+        )
+
+
+class HostRIRPrefetcher(HostPairPrefetcher):
+    """`HostPairPrefetcher` over the mmap RIR bank: payloads are (L, 2) f32
+    binaural RIRs read through ``HostRIRStore.gather_host``
+    (data/reference.py); the a-slot of the key is the discrete azimuth."""
+
+    def __init__(
+        self,
+        store,  # HostRIRStore (data/reference.py) — host side only
+        hops: np.ndarray,
+        packed_eps: Dict[str, np.ndarray],
+        capacity: int = 4096,
+        lookahead_episodes: int = 2,
+        has_distractor: bool = False,
+    ):
+        super().__init__(hops, packed_eps, capacity, lookahead_episodes, has_distractor)
+        self.store = store
+
+    def make_cache(self) -> AssocRIRCache:
+        return AssocRIRCache.create(self.capacity, self.store.length, self.n_max)
+
+    def _fetch(self, scene, az, recv, src) -> np.ndarray:
+        return self.store.gather_host(scene, az, recv, src)  # (k, L, 2)
 
     # -- verification -------------------------------------------------------
     def requested_keys(self, metrics: Dict[str, np.ndarray]) -> np.ndarray:
@@ -294,11 +332,6 @@ class HostRIRPrefetcher:
             sel = dsrc >= 0
             keys.append(ka[sel] * self.n_max + dsrc[sel])
         return np.unique(np.concatenate(keys))
-
-    def missing_of(self, requested: np.ndarray) -> np.ndarray:
-        return np.asarray(
-            [k for k in requested if int(k) not in self.key_to_slot], np.int64
-        )
 
 
 def env_state_to_host(env_state) -> Dict[str, np.ndarray]:

@@ -170,14 +170,31 @@ class HostSpeakerInstructionSource:
         )
 
 
+class CachedInstrRequest:
+    """Marker returned by `resolve_instruction_source` when instructions
+    should be served through the chunked prefetch cache
+    (dialog/instr_prefetch.py): the caller (a chunk-aware trainer) builds
+    the `HostInstrPrefetcher` + `CachedInstrSource` around this speaker and
+    its ChunkedCollector drives the cache between chunk scans."""
+
+    def __init__(self, speaker: Speaker):
+        self.speaker = speaker
+
+
 def resolve_instruction_source(
-    cfg, tables_list, rgb_bank=None
-) -> Tuple[Optional[np.ndarray], Optional[HostSpeakerInstructionSource]]:
-    """(bank, callback_source) — exactly one is non-None.
+    cfg, tables_list, rgb_bank=None, allow_cached: bool = False
+) -> Tuple[Optional[np.ndarray], Optional[object]]:
+    """(bank, source) — exactly one is non-None; ``source`` is either a
+    `HostSpeakerInstructionSource` (per-query io_callback) or, when
+    ``allow_cached``, a `CachedInstrRequest` (chunk-boundary prefetch).
 
     BANK_MODE auto banks small worlds and falls back to the host-callback
     source when any scene exceeds MAX_BANK_NODES (an O(N²) bank at real
-    Matterport sizes would be ~300 MB + ~1M speaker calls per scene).
+    Matterport sizes would be ~300 MB + ~1M speaker calls per scene). On
+    callback-less backends, chunk-aware trainers (``allow_cached=True``)
+    get the prefetch-cache source instead — the route that lets full AVLEN
+    train at real-Matterport scale on this TPU; BANK_MODE 'cached' forces it
+    (tests/CI exercise the path even where callbacks work).
     """
     from avlen_tpu.utils.logging import logger
     from avlen_tpu.utils.platform import host_callbacks_supported
@@ -185,13 +202,28 @@ def resolve_instruction_source(
     speaker = speaker_from_config(cfg, tables_list, rgb_bank=rgb_bank)
     mode = cfg.SPEAKER.BANK_MODE
     n_max = max(t.num_nodes for t in tables_list)
+    if mode == "cached" and not allow_cached:
+        raise RuntimeError(
+            "SPEAKER.BANK_MODE 'cached' serves instructions through the "
+            "chunked-rollout prefetch cache, which only chunk-aware trainers "
+            "on the host-prefetch audio path provide (TPU.HOST_PREFETCH + "
+            "savi/ddppo trainers). Use bank/callback/auto here."
+        )
     if mode == "auto":
         mode = "bank" if n_max <= cfg.SPEAKER.MAX_BANK_NODES else "callback"
     if mode == "callback" and not host_callbacks_supported():
         # Backends without host send/recv (e.g. tunneled single-chip PJRT)
-        # cannot run io_callback; bank instead when that is still tractable.
+        # cannot run io_callback; chunk-aware trainers take the prefetch
+        # cache, others bank when that is still tractable.
         bank_mb = len(tables_list) * n_max * n_max * 4 * CONTEXT_LENGTH * 4 / 2**20
-        if cfg.SPEAKER.BANK_MODE == "callback" or n_max > 4 * cfg.SPEAKER.MAX_BANK_NODES:
+        if allow_cached and cfg.SPEAKER.BANK_MODE != "callback":
+            logger.info(
+                "host callbacks unsupported on backend '%s'; serving "
+                "instructions through the chunked prefetch cache (N=%d)"
+                % (jax.default_backend(), n_max)
+            )
+            mode = "cached"
+        elif cfg.SPEAKER.BANK_MODE == "callback" or n_max > 4 * cfg.SPEAKER.MAX_BANK_NODES:
             raise RuntimeError(
                 "SPEAKER instruction source resolved to the host-callback "
                 f"speaker, but backend '{jax.default_backend()}' does not "
@@ -200,12 +232,15 @@ def resolve_instruction_source(
                 f"callback-capable backend. (bank would be ~{bank_mb:.0f} MB "
                 f"at N={n_max})"
             )
-        logger.warning(
-            "host callbacks unsupported on backend '%s'; banking instructions "
-            "instead (N=%d > MAX_BANK_NODES=%d, ~%.0f MB)"
-            % (jax.default_backend(), n_max, cfg.SPEAKER.MAX_BANK_NODES, bank_mb)
-        )
-        mode = "bank"
+        else:
+            logger.warning(
+                "host callbacks unsupported on backend '%s'; banking instructions "
+                "instead (N=%d > MAX_BANK_NODES=%d, ~%.0f MB)"
+                % (jax.default_backend(), n_max, cfg.SPEAKER.MAX_BANK_NODES, bank_mb)
+            )
+            mode = "bank"
+    if mode == "cached":
+        return None, CachedInstrRequest(speaker)
     if mode == "bank":
         return build_instruction_bank(speaker, tables_list), None
     return None, HostSpeakerInstructionSource(speaker, tables_list)

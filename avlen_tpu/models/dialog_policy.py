@@ -42,6 +42,7 @@ class AudioNavDialogNet(nn.Module):
     use_label_belief: bool = True
     use_location_belief: bool = True
     pretraining: bool = False
+    smt_fused: bool = False  # fused Pallas SMT encode (TPU.PALLAS_SMT)
     clip_width: int = 512
     clip_layers: int = 12
     num_categories: int = 21
@@ -65,6 +66,7 @@ class AudioNavDialogNet(nn.Module):
             pretraining=self.pretraining,
             num_categories=self.num_categories,
             dtype=self.dtype,
+            smt_fused=self.smt_fused,
         )
         self.clip = CLIPTextEncoder(width=self.clip_width, layers=self.clip_layers, dtype=self.dtype)
         self.dialog_layer = nn.Dense(self.d_model, kernel_init=KAIMING)

@@ -44,6 +44,7 @@ class AudioNavOptionNet(nn.Module):
     use_location_belief: bool = True
     query_count_emb_size: int = 32
     pretraining: bool = False
+    smt_fused: bool = False  # fused Pallas SMT encode (TPU.PALLAS_SMT)
     num_categories: int = 21
     dtype: jnp.dtype = jnp.float32
 
@@ -72,6 +73,7 @@ class AudioNavOptionNet(nn.Module):
             pose_indices=self.pose_indices,
             pretraining=self.pretraining,
             dtype=self.dtype,
+            fused=self.smt_fused,
         )
 
     def get_base_features(self, obs: Dict[str, jnp.ndarray], prev_actions: jnp.ndarray) -> jnp.ndarray:

@@ -109,6 +109,11 @@ class SMTStateEncoder(nn.Module):
     pose_indices: Optional[Tuple[int, int]] = None
     pretraining: bool = False
     dtype: jnp.dtype = jnp.float32
+    # run the transformer stack as ONE fused Pallas kernel (ops/pallas_smt.py)
+    # — same param tree, same numbers; init and non-1-layer configs fall back
+    # to the reference path below
+    fused: bool = False
+    fused_b_tile: int = 8
 
     @property
     def hidden_state_size(self) -> int:
@@ -143,6 +148,27 @@ class SMTStateEncoder(nn.Module):
             )
 
         entries = jnp.concatenate([memory, x[:, None, :]], axis=1)  # (B, M+1, F')
+
+        if (
+            self.fused
+            and not self.is_initializing()
+            and self.num_encoder_layers == 1
+            and self.num_decoder_layers == 1
+        ):
+            import jax
+
+            from avlen_tpu.ops.pallas_smt import smt_encode
+
+            return smt_encode(
+                self.variables["params"],
+                entries.astype(jnp.float32),
+                valid,
+                None if goal is None else goal.astype(jnp.float32),
+                self.nhead,
+                self.fused_b_tile,
+                jax.default_backend() != "tpu",  # interpret off-TPU (tests)
+            )
+
         h = nn.Dense(self.d_model, kernel_init=KAIMING, dtype=self.dtype, name="fusion0")(entries)
         h = nn.Dense(self.d_model, kernel_init=KAIMING, dtype=self.dtype, name="fusion1")(nn.relu(h))
 

@@ -45,6 +45,7 @@ class AudioNavSMTNet(nn.Module):
     pretraining: bool = False
     num_categories: int = 21
     dtype: jnp.dtype = jnp.float32
+    smt_fused: bool = False  # fused Pallas SMT encode (TPU.PALLAS_SMT)
 
     @property
     def feature_size(self) -> int:
@@ -66,6 +67,7 @@ class AudioNavSMTNet(nn.Module):
             pose_indices=self.pose_indices,
             pretraining=self.pretraining,
             dtype=self.dtype,
+            fused=self.smt_fused,
         )
 
     def get_features(self, obs: Dict[str, jnp.ndarray], prev_actions: jnp.ndarray) -> jnp.ndarray:

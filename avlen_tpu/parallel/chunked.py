@@ -35,18 +35,21 @@ from avlen_tpu.utils.logging import logger
 
 
 def require_no_host_prefetch(env, trainer: str) -> None:
-    """Loud failure for trainers whose rollouts are not yet chunk-aware: an
-    env built on the host-prefetch audio path starts with an EMPTY device
-    cache, so an unchunked T-step scan would silently render silence for
-    every step. Trainers that do support it (rl/trainers/savi.py) drive the
-    rollout through a ChunkedCollector instead."""
+    """Loud failure for trainers whose rollouts are not chunk-aware: an env
+    built on the host-prefetch audio path starts with an EMPTY device cache,
+    so an unchunked T-step scan would silently render silence for every
+    step. The savi / ddppo (interactive + dialog) / avnav trainers drive
+    their rollouts through a ChunkedCollector instead; only avwan remains
+    guarded (its high-level planner step advances several low-level env
+    steps per scan step, so the chunk→graph-ball radius mapping needs the
+    planner's substep bound — not yet wired)."""
     if getattr(env, "host_prefetcher", None) is not None:
         raise NotImplementedError(
             f"the '{trainer}' trainer does not support the chunked "
             "host-prefetch audio path (TPU.HOST_PREFETCH); its audio would "
             "silently be silence. Raise SIMULATOR.AUDIO.DENSE_RIR_MAX_BYTES "
             "so the RIR bank fits HBM, run on a host-callback-capable "
-            "backend, or use the 'savi' trainer."
+            "backend, or use the savi/ddppo/avnav trainers."
         )
 
 
@@ -264,6 +267,7 @@ class ChunkedCollector:
         chunk: int,
         num_steps: int,
         max_replays: int = 16,
+        instr_prefetcher=None,  # dialog/instr_prefetch.HostInstrPrefetcher
     ):
         if num_steps % chunk:
             raise ValueError(f"chunk {chunk} must divide num_steps {num_steps}")
@@ -273,13 +277,21 @@ class ChunkedCollector:
         self.num_chunks = num_steps // chunk
         self.max_replays = max_replays
         self.cache = prefetcher.make_cache()
+        # optional second prefetched stream: speaker instruction tokens for
+        # the interactive/dialog rollouts (same plan geometry, same
+        # verify/replay backstop — dialog/instr_prefetch.py)
+        self.instr = instr_prefetcher
+        self.instr_cache = instr_prefetcher.make_cache() if instr_prefetcher else None
 
     # ------------------------------------------------------------------
     def current_consts(self, consts: Optional[Dict] = None) -> Dict:
-        return replace_bank_rir(
+        consts = replace_bank_rir(
             dict(consts) if consts is not None else dict(self.binder.arrays),
             self.cache,
         )
+        if self.instr is not None:
+            consts["instr_cache"] = self.instr_cache
+        return consts
 
     def prime(self, env_state, consts: Optional[Dict] = None) -> Dict:
         """Prefetch the pairs of a freshly reset state (radius 0: just the
@@ -287,6 +299,8 @@ class ChunkedCollector:
         recomputed against a warm cache. Returns consts with the cache."""
         st = env_state_to_host(env_state)
         self.cache = self.prefetcher.ensure(self.cache, self.prefetcher.plan(st, 0))
+        if self.instr is not None:
+            self.instr_cache = self.instr.ensure(self.instr_cache, self.instr.plan(st, 0))
         return self.current_consts(consts)
 
     # ------------------------------------------------------------------
@@ -306,6 +320,10 @@ class ChunkedCollector:
             self.cache = self.prefetcher.ensure(
                 self.cache, self.prefetcher.plan(st, self.chunk)
             )
+            if self.instr is not None:
+                self.instr_cache = self.instr.ensure(
+                    self.instr_cache, self.instr.plan(st, self.chunk)
+                )
             consts_k = self.current_consts(consts)
             saved = carry
             for attempt in range(self.max_replays):
@@ -318,17 +336,26 @@ class ChunkedCollector:
                 missing = self.prefetcher.missing_of(
                     self.prefetcher.requested_keys(metrics)
                 )
-                if missing.size == 0:
+                missing_instr = (
+                    self.instr.missing_of(self.instr.requested_keys(metrics))
+                    if self.instr is not None
+                    else np.zeros((0,), np.int64)
+                )
+                if missing.size == 0 and missing_instr.size == 0:
                     break
                 # backstop: more resets than the lookahead covered — upload
-                # the missing RIRs and replay the chunk exactly
+                # the missing entries and replay the chunk exactly
                 self.prefetcher.replays += 1
                 logger.warning(
-                    "chunked rollout: %d uncached audio pairs requested "
-                    "(replay %d) — raise HostRIRPrefetcher.lookahead if frequent",
-                    missing.size, attempt + 1,
+                    "chunked rollout: %d uncached audio pairs + %d uncached "
+                    "instructions requested (replay %d) — raise the prefetcher "
+                    "lookahead if frequent",
+                    missing.size, missing_instr.size, attempt + 1,
                 )
-                self.cache = self.prefetcher.ensure(self.cache, missing)
+                if missing.size:
+                    self.cache = self.prefetcher.ensure(self.cache, missing)
+                if missing_instr.size:
+                    self.instr_cache = self.instr.ensure(self.instr_cache, missing_instr)
                 consts_k = self.current_consts(consts)
             else:
                 raise RuntimeError(

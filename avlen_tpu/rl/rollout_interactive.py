@@ -243,6 +243,16 @@ def collect_rollout_interactive(
             tokens = instr_bank(env_state, newly)
         else:
             tokens = instr_bank[env_state.scene, env_state.node, env_state.rot, env_state.goal_node]
+        instr_metrics = {}
+        if getattr(instr_bank, "record_requests", False):
+            # chunked host-prefetch instruction source: record the packed key
+            # of every query-start step so the verify/replay backstop can
+            # prove (or repair) cache coverage (dialog/instr_prefetch.py)
+            ka, kb = instr_bank.keys_of(env_state)
+            instr_metrics = {
+                "pair_instr_a": jnp.where(newly, ka, -1),
+                "pair_instr_src": jnp.where(newly, kb, -1),
+            }
         current_dialog = jnp.where(newly[:, None], tokens, t.current_dialog)
         if fns.clip_embed is not None:
             # frozen tower runs only when some env's query starts this step
@@ -362,7 +372,7 @@ def collect_rollout_interactive(
             masks_vln=jnp.where(vln_reset, 0.0, c.masks_vln),
             dones=out.done,
             query_count=query_count,
-            metrics=out.metrics,
+            metrics={**out.metrics, **instr_metrics},
         )
         return new_c, store
 
@@ -432,11 +442,23 @@ def collect_rollout_dialog_pretrain(
             tokens = instr_bank(env_state, window_start)
         else:
             tokens = instr_bank[env_state.scene, env_state.node, env_state.rot, env_state.goal_node]
+        oracle_needed = window_start
         if sub_instr_bank is not None:
             # dataset instruction for this episode (all-zero row = absent)
             ds_tokens = sub_instr_bank[env_state.ep_i]
             has_ds = jnp.any(ds_tokens != 0, axis=-1)
             tokens = jnp.where(has_ds[:, None], ds_tokens, tokens)
+            oracle_needed = window_start & ~has_ds
+        instr_metrics = {}
+        if getattr(instr_bank, "record_requests", False):
+            # verify/replay recording for the chunked host-prefetch source:
+            # only window-start steps actually consuming the ORACLE tokens
+            # (dataset sub_instr rows need no speaker) count as requests
+            ka, kb = instr_bank.keys_of(env_state)
+            instr_metrics = {
+                "pair_instr_a": jnp.where(oracle_needed, ka, -1),
+                "pair_instr_src": jnp.where(oracle_needed, kb, -1),
+            }
         current_dialog = jnp.where(window_start[:, None], tokens, t.current_dialog)
         agent_step = jnp.where(new_ep, 0, t.dialog_step)
 
@@ -491,7 +513,7 @@ def collect_rollout_dialog_pretrain(
             masks_vln=jnp.where(vln_reset, 0.0, c.masks_vln),
             logits_vln=logits,
             dones=out.done,
-            metrics=out.metrics,
+            metrics={**out.metrics, **instr_metrics},
         )
         return new_c, store
 

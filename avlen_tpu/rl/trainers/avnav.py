@@ -67,9 +67,6 @@ class AVNavTrainer(BaseRLTrainer):
         self.env = construct_batched_env(
             cfg, num_envs=num_envs, with_depth=True, with_rgb="RGB_SENSOR" in cfg.SENSORS and not cfg.EXTRA_RGB
         )
-        from avlen_tpu.parallel.chunked import require_no_host_prefetch
-
-        require_no_host_prefetch(self.env, "avnav")
         b = self.env.num_envs
         spec_hw = self.env.spec_config.out_shape[:2]
         self.policy = Policy(
@@ -101,16 +98,18 @@ class AVNavTrainer(BaseRLTrainer):
         policy, env = self.policy, self.env
         num_steps, ppo_cfg, optimizer = self.num_steps, self.ppo_cfg, self.optimizer
 
-        def collect(params, carry, deterministic=False):
+        def collect(params, carry, deterministic=False, n=None):
             def pol(obs, h, m, key):
                 return policy.apply(params, obs, h, m, key, deterministic, method=Policy.act)
 
             def val(obs, h, m):
                 return policy.apply(params, obs, h, m, method=Policy.get_value)
 
-            return collect_rollout(env._step_impl_noquery, pol, val, carry, num_steps)
+            return collect_rollout(
+                env._step_impl_noquery, pol, val, carry, num_steps if n is None else n
+            )
 
-        def update(params, opt_state, batch, key):
+        def update(params, opt_state, batch, key, grad_reduce=lambda g: g):
             adv, ret = compute_gae(
                 batch.rewards, batch.values, batch.bootstrap_value,
                 1.0 - batch.dones.astype(jnp.float32), ppo_cfg.gamma, ppo_cfg.tau,
@@ -120,19 +119,74 @@ class AVNavTrainer(BaseRLTrainer):
                 return policy.apply(p, obs, h0, masks, actions, method=Policy.evaluate_actions)
 
             return ppo_update(
-                params, opt_state, batch, adv, ret, key, evaluate_actions, optimizer, ppo_cfg
+                params, opt_state, batch, adv, ret, key, evaluate_actions, optimizer,
+                ppo_cfg, grad_reduce=grad_reduce,
             )
 
-        def collect_bound(consts, params, carry, deterministic=False):
+        def collect_bound(consts, params, carry, deterministic=False, n=None):
             with env.binder.bind(consts):
-                return collect(params, carry, deterministic)
+                return collect(params, carry, deterministic, n=n)
+
+        self._update = jax.jit(update)
+        self._ddppo = None
+        self._chunked = None
+        if getattr(env, "host_prefetcher", None) is not None:
+            # chunked host-prefetch audio (parallel/chunked.py): rollouts run
+            # as C-step scans with host RIR prefetch between chunks
+            import functools as _ft
+
+            from avlen_tpu.parallel.chunked import (
+                ChunkedCollector,
+                make_chunked_superstep,
+                resolve_chunk,
+            )
+
+            chunk = resolve_chunk(
+                num_steps, self.config.TPU.ROLLOUT_CHUNK or max(1, num_steps // 6)
+            )
+            self._chunked = ChunkedCollector(env.host_prefetcher, env.binder, chunk, num_steps)
+            self._chunk_len = chunk
+            collect_chunk_jit = jax.jit(
+                _ft.partial(collect_bound, n=chunk), static_argnames=("deterministic",)
+            )
+
+            def chunked_collect(consts, params, carry, deterministic=False):
+                carry, batch, _ = self._chunked.run(
+                    lambda c, cr: collect_chunk_jit(c, params, cr, deterministic=deterministic),
+                    carry, consts,
+                )
+                return carry, batch
+
+            self._collect = chunked_collect
+
+            def collect_ts(train_state, carry, n=None):
+                params, _ = train_state
+                return collect(params, carry, n=n)
+
+            def update_ts(train_state, batch, key, grad_reduce):
+                params, opt_state = train_state
+                params, opt_state, stats = update(params, opt_state, batch, key, grad_reduce)
+                return (params, opt_state), stats
+
+            self._superstep_chunked, carry_spec = make_chunked_superstep(
+                collect_ts, update_ts, (self.params, self.opt_state), self.carry,
+                self.mesh, num_steps, chunk, binder=env.binder, collector=self._chunked,
+            )
+            if carry_spec is not None:
+                from avlen_tpu.parallel.ddppo import shard_pytree
+
+                self.carry = shard_pytree(self.carry, carry_spec, self.mesh)
+            # the reset observed through an empty cache — prime + recompute
+            consts0 = self._chunked.prime(self.carry.env_state)
+            self.carry = self.carry._replace(
+                obs=dict(env._observe_jit(consts0, self.carry.env_state))
+            )
+            return
 
         self._collect = jax.jit(collect_bound, static_argnames=("deterministic",))
-        self._update = jax.jit(update)
 
         # multi-chip: the GRU stack on make_ddppo_step (shard_map superstep,
         # pmean grad sync — the DDPPOTrainer path, ddppo_trainer.py:515-1200)
-        self._ddppo = None
         if self.mesh is not None:
             from avlen_tpu.parallel.ddppo import make_ddppo_step, shard_carry
 
@@ -186,7 +240,17 @@ class AVNavTrainer(BaseRLTrainer):
             for update in range(cfg.NUM_UPDATES):
                 t0 = time.time()
                 key, sub = jax.random.split(key)
-                if self._ddppo is not None:
+                if self._chunked is not None:
+                    # chunked host-prefetch superstep (parallel/chunked.py)
+                    (self.params, self.opt_state), self.carry, batch, stats = (
+                        self._superstep_chunked(
+                            (self.params, self.opt_state), self.carry, sub, self.env.consts
+                        )
+                    )
+                    jax.block_until_ready(stats["value_loss"])
+                    t1 = t2 = time.time()
+                    env_time += t1 - t0
+                elif self._ddppo is not None:
                     # fused sharded superstep: rollout+update in one program
                     self.params, self.opt_state, self.carry, batch, stats = (
                         self._ddppo.step_fn(
@@ -295,6 +359,11 @@ class AVNavTrainer(BaseRLTrainer):
         state, obs = self.env.reset(
             order=jnp.asarray(exact_once_deal(num_episodes, b)), consts=consts
         )
+        if self._chunked is not None:
+            # the reset observed through an empty/stale prefetch cache —
+            # prime the standing pairs and recompute the initial obs
+            consts = self._chunked.prime(state, consts)
+            obs = dict(self.env._observe_jit(consts, state))
         carry = CarryState(
             env_state=state, obs=obs,
             hidden=jnp.zeros((b, self.config.RL.PPO.hidden_size), jnp.float32),

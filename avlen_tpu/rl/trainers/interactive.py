@@ -68,6 +68,7 @@ from avlen_tpu.rl.trainers.base import METRIC_BLACKLIST, BaseRLTrainer
 from avlen_tpu.sim.builder import construct_batched_env
 from avlen_tpu.utils.checkpoint import save_checkpoint
 from avlen_tpu.utils.logging import logger
+from avlen_tpu.utils.platform import pallas_smt_enabled
 from avlen_tpu.utils.tb import TensorboardWriter
 
 
@@ -99,23 +100,50 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
             cfg, num_envs=num_envs, with_depth=True, with_rgb=True,
             extra_sensors=("category_belief", "location_belief", "category"),
         )
-        from avlen_tpu.parallel.chunked import require_no_host_prefetch
-
-        require_no_host_prefetch(self.env, "ddppo (interactive)")
         b = self.env.num_envs
         spec_hw = self.env.spec_config.out_shape[:2]
         num_actions = len(cfg.TASK_CONFIG.TASK.POSSIBLE_ACTIONS)
         d_model = smt_cfg.hidden_size
         key = jax.random.key(cfg.SEED)
 
-        # oracle-instruction source (SPEAKER config): either a precomputed
-        # token bank (small worlds; banked on the env binder so it enters
-        # jits as an argument, not a literal) or a per-query host-speaker
-        # callback for scenes too large to bank (instruction_source.py)
+        # oracle-instruction source (SPEAKER config): a precomputed token
+        # bank (small worlds; banked on the env binder so it enters jits as
+        # an argument, not a literal), a per-query host-speaker callback
+        # (large scenes, callback-capable backends), or — on the chunked
+        # host-prefetch audio path — the chunk-boundary prefetched token
+        # cache (dialog/instr_prefetch.py, the real-Matterport route on
+        # io_callback-less backends)
+        chunk_capable = getattr(self.env, "host_prefetcher", None) is not None
         bank, self.instr_source = resolve_instruction_source(
             cfg, self.env.scene_tables,
             rgb_bank=self.env.bank.rgb if cfg.SPEAKER.USE_PANO_FEATURES else None,
+            allow_cached=chunk_capable,
         )
+        self.instr_prefetcher = None
+        from avlen_tpu.dialog.instruction_source import (
+            CachedInstrRequest,
+            HostSpeakerInstructionSource,
+        )
+
+        if isinstance(self.instr_source, CachedInstrRequest):
+            from avlen_tpu.dialog.instr_prefetch import (
+                CachedInstrSource,
+                HostInstrPrefetcher,
+            )
+
+            host_lookup = HostSpeakerInstructionSource(
+                self.instr_source.speaker, self.env.scene_tables
+            )
+            self.instr_prefetcher = HostInstrPrefetcher(
+                host_lookup._lookup,
+                np.asarray(self.env.bank.tables["hops"]),
+                {k: np.asarray(v) for k, v in self.env.eps.items()},
+                capacity=int(cfg.SPEAKER.CACHE_SLOTS),
+            )
+            self.env.binder.add("instr_cache", self.instr_prefetcher.make_cache())
+            self.instr_source = CachedInstrSource(
+                self.env.binder, self.instr_prefetcher.n_max
+            )
         self.instr_bank = jnp.asarray(bank) if bank is not None else None
         self.pe_table = jnp.asarray(sinusoidal_pe(151, cfg.QUERY_COUNT_EMB_SIZE))
         if self.instr_bank is not None:
@@ -139,6 +167,7 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
             use_location_belief=bp_cfg.use_location_belief,
             pretraining=smt_cfg.pretraining,
             dtype=self.compute_dtype(),
+            smt_fused=pallas_smt_enabled(cfg.TPU.PALLAS_SMT),
         )
         self.goal_policy = SMTPolicy(net=AudioNavSMTNet(use_belief_as_goal=True, **common))
         self.dialog_policy = DialogPolicy(
@@ -305,7 +334,7 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
             # the host-speaker callback source (no O(N^2) bank exists)
             return instr_source if instr_source is not None else binder.get("instr_bank")
 
-        def collect(pg, pd, po, pb, carry, deterministic=False):
+        def collect(pg, pd, po, pb, carry, deterministic=False, n=None):
             import dataclasses as _dc
 
             fns = make_fns(pg, pd, po, pb, deterministic)
@@ -314,7 +343,8 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
                 how_many_query=cfg.HOW_MANY_QUERY, enforced_gap=cfg.ENFORCED_GAP,
             )
             return collect_rollout_interactive(
-                fns, carry, instr_bank_or_source(), binder.get("pe_table"), c, num_steps
+                fns, carry, instr_bank_or_source(), binder.get("pe_table"), c,
+                num_steps if n is None else n,
             )
 
         def update_q(po, opt_state, traj, key, grad_reduce=lambda g: g):
@@ -357,20 +387,78 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
 
         have_sub_instr = self.sub_instr_bank is not None
 
-        def collect_dialog(pd, pb, carry):
+        def collect_dialog(pd, pb, carry, n=None):
             fns = make_fns(self.params_goal, pd, self.params_option, pb)
             return collect_rollout_dialog_pretrain(
                 fns.act_dialog, env._step_impl_noquery, env.oracle_action, fns.belief_fn,
-                carry, instr_bank_or_source(), cfg.NUM_DIALOG_STEPS, num_steps,
+                carry, instr_bank_or_source(), cfg.NUM_DIALOG_STEPS,
+                num_steps if n is None else n,
                 sub_instr_bank=binder.get("sub_instr_bank") if have_sub_instr else None,
                 clip_embed=fns.clip_embed,
             )
 
-        def collect_bound(consts, pg, pd, po, pb, carry, deterministic=False):
+        def collect_bound(consts, pg, pd, po, pb, carry, deterministic=False, n=None):
             with binder.bind(consts):
-                return collect(pg, pd, po, pb, carry, deterministic)
+                return collect(pg, pd, po, pb, carry, deterministic, n=n)
 
-        self._collect = jax.jit(collect_bound, static_argnames=("deterministic",))
+        def collect_dialog_bound(consts, pd, pb, carry, n=None):
+            with binder.bind(consts):
+                return collect_dialog(pd, pb, carry, n=n)
+
+        # chunked host-prefetch execution (parallel/chunked.py): rollouts run
+        # as C-step scans with host RIR + speaker-instruction prefetch between
+        # chunks — the real-Matterport route on io_callback-less backends
+        self._chunked = None
+        if getattr(env, "host_prefetcher", None) is not None:
+            from avlen_tpu.parallel.chunked import (
+                ChunkedCollector,
+                combine_traj_dicts,
+                resolve_chunk,
+            )
+
+            chunk = resolve_chunk(
+                num_steps, cfg.TPU.ROLLOUT_CHUNK or max(1, num_steps // 6)
+            )
+            self._chunked = ChunkedCollector(
+                env.host_prefetcher, binder, chunk, num_steps,
+                instr_prefetcher=self.instr_prefetcher,
+            )
+            self._chunk_len = chunk
+            import functools as _ft
+
+            collect_chunk_jit = jax.jit(
+                _ft.partial(collect_bound, n=chunk),
+                static_argnames=("deterministic",),
+            )
+
+            def chunked_eval_collect(consts, pg, pd, po, pb, carry, deterministic=False):
+                carry, traj, _ = self._chunked.run(
+                    lambda c, cr: collect_chunk_jit(
+                        c, pg, pd, po, pb, cr, deterministic=deterministic
+                    ),
+                    carry, consts,
+                    metrics_of=lambda t: t["metrics"],
+                    combine=combine_traj_dicts,
+                )
+                return carry, traj
+
+            self._collect = chunked_eval_collect
+
+            collect_dialog_chunk_jit = jax.jit(_ft.partial(collect_dialog_bound, n=chunk))
+
+            def chunked_dialog_collect(consts, pd, pb, carry):
+                carry, traj, _ = self._chunked.run(
+                    lambda c, cr: collect_dialog_chunk_jit(c, pd, pb, cr),
+                    carry, consts,
+                    metrics_of=lambda t: t["metrics"],
+                    combine=combine_traj_dicts,
+                )
+                return carry, traj
+
+            self._collect_dialog = chunked_dialog_collect
+        else:
+            self._collect = jax.jit(collect_bound, static_argnames=("deterministic",))
+            self._collect_dialog = jax.jit(collect_dialog_bound)
         self._update_l = jax.jit(update_l, static_argnames=("replay_only",))
 
         # full-AVLEN superstep (rollout → π_q PPO [→ π_l replay CE]); on a
@@ -379,9 +467,9 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
         # wrappers agent/agent_vln (ddppo_trainer.py:583-585)
         replay_store = bool(cfg.REPLAY_STORE)
 
-        def collect_ts(train_state, carry):
+        def collect_ts(train_state, carry, n=None):
             pg, pd, po, pb, _, _ = train_state
-            return collect(pg, pd, po, pb, carry)
+            return collect(pg, pd, po, pb, carry, n=n)
 
         def update_ts(train_state, traj, key, grad_reduce):
             pg, pd, po, pb, opt_q, opt_l = train_state
@@ -394,9 +482,9 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
             return (pg, pd, po, pb, opt_q, opt_l), stats
 
         # π_l dialog-pretraining superstep (oracle rollout → weighted CE)
-        def collect_dialog_ts(train_state, carry):
+        def collect_dialog_ts(train_state, carry, n=None):
             pd, _, pb = train_state
-            return collect_dialog(pd, pb, carry)
+            return collect_dialog(pd, pb, carry, n=n)
 
         def update_dialog_ts(train_state, traj, key, grad_reduce):
             pd, opt_l, pb = train_state
@@ -413,7 +501,37 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
 
         dialog_mode = self.policy_type == "dialog" or cfg.DIALOG_TRAINING
         donate = self._donate_rollouts()
-        if self.mesh is not None:
+        if self._chunked is not None:
+            from avlen_tpu.parallel.chunked import (
+                combine_traj_dicts,
+                make_chunked_superstep,
+            )
+
+            metrics_of = lambda t: t["metrics"]  # noqa: E731
+            if dialog_mode:
+                self._superstep_dialog, carry_spec = make_chunked_superstep(
+                    collect_dialog_ts, update_dialog_ts, self._dialog_train_state(),
+                    self.carry, self.mesh, num_steps, self._chunk_len,
+                    binder=binder, collector=self._chunked,
+                    metrics_of=metrics_of, combine=combine_traj_dicts,
+                )
+            else:
+                self._superstep, carry_spec = make_chunked_superstep(
+                    collect_ts, update_ts, self._train_state(), self.carry,
+                    self.mesh, num_steps, self._chunk_len,
+                    binder=binder, collector=self._chunked,
+                    metrics_of=metrics_of, combine=combine_traj_dicts,
+                )
+            if carry_spec is not None:
+                self.carry = shard_pytree(self.carry, carry_spec, self.mesh)
+            # the reset's _observe ran against empty RIR/instruction caches —
+            # prefetch the standing pairs and recompute the initial obs
+            consts0 = self._chunked.prime(self.carry.env_state)
+            obs0 = dict(env._observe_jit(consts0, self.carry.env_state))
+            for k, v in self.carry.obs.items():
+                obs0.setdefault(k, v)  # belief slots injected at setup
+            self.carry = self.carry._replace(obs=obs0)
+        elif self.mesh is not None:
             # eval_shape traces the rollout eagerly, so only build the
             # superstep for the active mode
             if dialog_mode:
@@ -613,6 +731,13 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
         """Interactive eval with query strategies + budget
         (ppo_trainer.py:1313-2761)."""
         cfg = self.config
+        # config-level dispatch: eval() may reach here before _setup binds
+        # self.policy_type
+        if cfg.RL.PPO.policy_type == "dialog" or cfg.DIALOG_TRAINING:
+            # a vln/ckpt.N.pth dialog checkpoint holds π_l params only —
+            # evaluating it through the interactive loader would mis-load it
+            # as π_q; dispatch to the dialog protocol instead
+            return self._eval_checkpoint_dialog(checkpoint_path, writer, checkpoint_index)
         ckpt = self.load_checkpoint(checkpoint_path)
         self.reconfigure_from_checkpoint(ckpt)
         p_opt = jax.tree.map(jnp.asarray, ckpt["state_dict"])
@@ -635,6 +760,11 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
         state, obs = self.env.reset(
             order=jnp.asarray(exact_once_deal(num_episodes, b)), consts=consts
         )
+        if self._chunked is not None:
+            # the reset observed through an empty/stale prefetch cache —
+            # prime the standing pairs and recompute the initial obs
+            consts = self._chunked.prime(state, consts)
+            obs = dict(self.env._observe_jit(consts, state))
         if "category_belief" not in obs:
             obs["category_belief"] = jnp.zeros((b, 21), jnp.float32)
             obs["location_belief"] = jnp.zeros((b, 2), jnp.float32)
@@ -717,4 +847,100 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
         )
         for k, v in means.items():
             writer.add_scalar(f"val/{k}", v, checkpoint_index)
+        return means
+
+    def _eval_checkpoint_dialog(
+        self, checkpoint_path: str, writer, checkpoint_index: int = 0
+    ) -> Dict[str, float]:
+        """π_l (dialog policy) eval protocol: load a ``vln/ckpt.N.pth``
+        dialog checkpoint, roll the oracle-window episodes of the val split
+        exactly once, and report π_l's imitation quality — per-step action
+        accuracy and CE against the oracle action — alongside the split's
+        nav metrics. The reference evaluates the dialog policy on its own
+        val split this way (ss_baselines/savi/config/default.py:348-362,
+        ddppo_trainer.py:181-298)."""
+        cfg = self.config
+        ckpt = self.load_checkpoint(checkpoint_path)
+        self.reconfigure_from_checkpoint(ckpt)
+        p_vln = jax.tree.map(jnp.asarray, ckpt["state_dict"])
+        p_bel = (
+            jax.tree.map(jnp.asarray, ckpt["belief_predictor"])
+            if "belief_predictor" in ckpt and self.use_belief_predictor
+            else self.belief_params
+        )
+        from avlen_tpu.rl.trainers.base import (
+            METRIC_BLACKLIST,
+            eval_episode_accounting,
+            exact_once_deal,
+        )
+
+        num_episodes = int(self.env.eps["scene"].shape[0])
+        count = min(cfg.TEST_EPISODE_COUNT, num_episodes)
+        b = self.env.num_envs
+        consts = self.env.eval_consts(cfg.SOUND_TYPE)
+        state, obs = self.env.reset(
+            order=jnp.asarray(exact_once_deal(num_episodes, b)), consts=consts
+        )
+        if self._chunked is not None:
+            consts = self._chunked.prime(state, consts)
+            obs = dict(self.env._observe_jit(consts, state))
+        if "category_belief" not in obs:
+            obs["category_belief"] = jnp.zeros((b, 21), jnp.float32)
+            obs["location_belief"] = jnp.zeros((b, 2), jnp.float32)
+        carry = self.carry._replace(
+            env_state=state, obs=obs,
+            prev_action=jnp.zeros((b,), jnp.int32),
+            masks=jnp.zeros((b,), jnp.float32),
+            masks_vln=jnp.zeros((b,), jnp.float32),
+            mem_goal=init_memory(b, self.memory_size, self.feat_goal_size),
+            mem_option=init_memory(b, self.memory_size, self.feat_option_size),
+            mem_vln=init_memory(b, cfg.NUM_DIALOG_STEPS, self.feat_goal_size),
+            mem_vln_dialog=init_memory(
+                b, cfg.NUM_DIALOG_STEPS, cfg.RL.PPO.SCENE_MEMORY_TRANSFORMER.hidden_size
+            ),
+            belief=init_belief_state(b),
+            track=init_query_track(b),
+            key=jax.random.key(cfg.SEED + 17),
+        )
+        stats: Dict[str, list] = collections.defaultdict(list)
+        seen: set = set()
+        acc_num = ce_num = n_steps = 0.0
+        max_rollouts = self.eval_rollout_budget(
+            num_episodes, b, self.env.config.max_episode_steps
+        )
+        for _ in range(max_rollouts):
+            if len(seen) >= count:
+                break
+            carry, traj = self._collect_dialog(consts, p_vln, p_bel, carry)
+            logits = np.asarray(traj["logits_vln"], np.float64)  # (T, B, A)
+            oracle = np.asarray(traj["o_action"])  # (T, B)
+            z = logits - logits.max(axis=-1, keepdims=True)
+            logp = z - np.log(np.exp(z).sum(axis=-1, keepdims=True))
+            picked = np.take_along_axis(logp, oracle[..., None], axis=-1)[..., 0]
+            acc_num += float((logits.argmax(-1) == oracle).sum())
+            ce_num += float(-picked.sum())
+            n_steps += float(oracle.size)
+            dones = np.asarray(traj["dones"])
+            ep_ids = np.asarray(traj["metrics"]["episode"])
+            metrics = {
+                k: np.asarray(v) for k, v in traj["metrics"].items()
+                if k not in METRIC_BLACKLIST
+            }
+            for t, bi in zip(*np.nonzero(dones)):
+                eid = int(ep_ids[t, bi])
+                if eid in seen or len(seen) >= count:
+                    continue
+                seen.add(eid)
+                for k in metrics:
+                    stats[k].append(metrics[k][t, bi])
+        means = {k: float(np.mean(v)) for k, v in stats.items()}
+        means["action_accuracy"] = acc_num / max(n_steps, 1.0)
+        means["action_ce"] = ce_num / max(n_steps, 1.0)
+        means.update(eval_episode_accounting(seen, count, "dialog"))
+        logger.info(
+            f"dialog eval ckpt {checkpoint_index}: "
+            + ", ".join(f"{k}={v:.3f}" for k, v in means.items())
+        )
+        for k, v in means.items():
+            writer.add_scalar(f"val_dialog/{k}", v, checkpoint_index)
         return means

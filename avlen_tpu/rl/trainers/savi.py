@@ -47,6 +47,7 @@ from avlen_tpu.rl.trainers.base import METRIC_BLACKLIST, BaseRLTrainer
 from avlen_tpu.sim.builder import construct_batched_env
 from avlen_tpu.utils.checkpoint import merge_matching_params, save_checkpoint
 from avlen_tpu.utils.logging import logger
+from avlen_tpu.utils.platform import pallas_smt_enabled
 from avlen_tpu.utils.tb import TensorboardWriter
 
 
@@ -83,6 +84,7 @@ class SaviTrainer(BaseRLTrainer):
                 normalize_category_distribution=bp_cfg.normalize_category_distribution,
                 pretraining=smt_cfg.pretraining,
                 dtype=self.compute_dtype(),
+                smt_fused=pallas_smt_enabled(cfg.TPU.PALLAS_SMT),
             )
         )
         self.use_belief_predictor = cfg.RL.PPO.use_belief_predictor
@@ -506,6 +508,11 @@ class SaviTrainer(BaseRLTrainer):
         state, obs = self.env.reset(
             order=jnp.asarray(exact_once_deal(num_episodes, b)), consts=consts
         )
+        if self._chunked is not None:
+            # the reset observed through an empty/stale prefetch cache —
+            # prime the standing pairs and recompute the initial obs
+            consts = self._chunked.prime(state, consts)
+            obs = dict(self.env._observe_jit(consts, state))
         stats: Dict[str, list] = collections.defaultdict(list)
         if "category_belief" not in obs:
             obs["category_belief"] = jnp.zeros((b, 21), jnp.float32)

@@ -45,3 +45,14 @@ def host_callbacks_supported(platform: str | None = None) -> bool:
             return int(out) == 7
     except Exception:
         return False
+
+
+def pallas_smt_enabled(mode: str) -> bool:
+    """Resolve TPU.PALLAS_SMT: "auto" = the Mosaic kernel on TPU backends
+    only (off-TPU the kernel would run interpreted — test-only), "on"/"off"
+    force it (ops/pallas_smt.py)."""
+    if mode == "on":
+        return True
+    if mode == "off":
+        return False
+    return jax.default_backend() == "tpu"
