@@ -103,13 +103,21 @@ class InteractiveConfig:
     pe_max: int = 151
     deterministic: bool = False
     # eval-time query strategy (ppo_trainer.py:1333-1356): ours | random |
-    # uniform | never; budget/gap enforced when limit_query
+    # uniform | jask | never; budget/gap enforced when limit_query
     qs_method: str = "ours"
     limit_query: bool = False
     how_many_query: int = 3
     enforced_gap: int = 1
-    uniform_interval: int = 50
-    random_prob: float = 0.03
+    # uniform: query at per-episode steps {0, U, 2U, ...} up to the budget
+    # (uniform_step = au*UNIFORM_STEP_SIZE, ppo_trainer.py:1356,1868)
+    uniform_interval: int = 10
+    # random: HOW_MANY_QUERY steps sampled per episode from
+    # range(random_start, random_end, random_step) (ppo_trainer.py:1352-1354)
+    random_end: int = 30
+    random_step: int = 3
+    # jask "just ask": query when the goal policy's action-probability
+    # margin is under this threshold (ppo_trainer.py:2036-2040)
+    jask_margin: float = 0.1
     # distance-sampled query reward draw (environments.py:126-133); the env
     # applies RewardConfig.query_reward_distance when dtg * sample <= 3
     with_distance_constraint: bool = False
@@ -198,6 +206,12 @@ def collect_rollout_interactive(
         a_opt, lp_opt, v_opt, x_mem_opt, logits_opt, unct_logits = fns.act_option(
             obs, prev_action, mem_option.features, mem_option.valid, query_state, last_query_info, k1
         )
+        # goal policy forward (ppo_trainer.py:600-607) — hoisted above the
+        # query decision: the 'jask' strategy reads this step's goal action
+        # probabilities (ppo_trainer.py:2036-2040)
+        a_goal, lp_goal, v_goal, x_goal, logits_goal = fns.act_goal(
+            obs, prev_action, mem_goal.features, mem_goal.valid, k2
+        )
 
         env_state = c.env_state
         dtg = env_state.prev_dtg  # geodesic at the current node (pre-step)
@@ -207,13 +221,29 @@ def collect_rollout_interactive(
         if cfg.qs_method == "ours":
             wants_query = a_opt == 1
         elif cfg.qs_method == "random":
-            wants_query = jax.random.uniform(k4, (b,)) < cfg.random_prob
+            # reference: HOW_MANY_QUERY per-episode steps sampled from
+            # range(0, random_end, random_step) (ppo_trainer.py:1866, 2023);
+            # jit-friendly equivalent: each eligible step queries with
+            # probability budget/|eligible| (same expected count, no
+            # per-episode sampled sets threading through the scan)
+            n_eligible = max(1, -(-cfg.random_end // cfg.random_step))
+            eligible = (t.total_step < cfg.random_end) & (
+                t.total_step % cfg.random_step == 0
+            )
+            wants_query = eligible & (
+                jax.random.uniform(k4, (b,)) < cfg.how_many_query / n_eligible
+            )
         elif cfg.qs_method == "uniform":
-            wants_query = (t.total_step % cfg.uniform_interval) == (cfg.uniform_interval - 1)
+            # reference: per-episode steps {0, U, 2U, ...}; the budget gate
+            # below caps the count at how_many_query (ppo_trainer.py:1868)
+            wants_query = (t.total_step % cfg.uniform_interval) == 0
         elif cfg.qs_method == "jask":
-            # "just ask when uncertain": query when the auxiliary uncertainty
-            # head predicts the goal policy is uncertain (ppo_trainer.py:2036)
-            wants_query = jnp.argmax(unct_logits, axis=-1) == 1
+            # "just ask when uncertain": the goal policy's action-prob margin
+            # under jask_margin (ppo_trainer.py:2036-2040 — the literal prob
+            # pair there is its action layout's top-2 at the decision point)
+            p_goal = jax.nn.softmax(logits_goal, axis=-1)
+            top2_goal = jax.lax.top_k(p_goal, 2)[0]
+            wants_query = (top2_goal[:, 0] - top2_goal[:, 1]) < cfg.jask_margin
         else:  # never
             wants_query = jnp.zeros((b,), bool)
 
@@ -266,10 +296,8 @@ def collect_rollout_interactive(
             current_clip = None
         agent_step = t.dialog_step
 
-        # ---- goal and dialog policies (ppo_trainer.py:600-637)
-        a_goal, lp_goal, v_goal, x_goal, logits_goal = fns.act_goal(
-            obs, prev_action, mem_goal.features, mem_goal.valid, k2
-        )
+        # ---- dialog policy (ppo_trainer.py:608-637; goal forward hoisted
+        # above the query decision for 'jask')
         _dialog_extra = () if current_clip is None else (current_clip,)
         a_vln, lp_vln, v_vln, x_vln, x_att_dialog, logits_vln = fns.act_dialog(
             obs, prev_action, mem_vln.features, mem_vln.valid,
