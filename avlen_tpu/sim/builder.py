@@ -123,7 +123,60 @@ def build_world_from_config(
     )
     if tc.DATASET.FRAME_CACHE_DIR:
         _load_frame_banks_via_server(bank, tables, tc.DATASET.FRAME_CACHE_DIR)
+    if syn.PACK_HOST_RIRS:
+        _pack_synthetic_host_rirs(bank, tc.SIMULATOR.AUDIO.RIR_SAMPLING_RATE)
     return bank, tables, episodes
+
+
+def _pack_synthetic_host_rirs(bank, sampling_rate: int) -> None:
+    """Densely render the procedural RIRs and re-serve them through the mmap
+    `HostRIRStore` — the config-only route (DATASET.SYNTHETIC.PACK_HOST_RIRS)
+    onto the host-served audio paths (io_callback gathers, or the chunked
+    host-prefetch cache on callback-less backends) at any synthetic scale.
+    This is how benchmarks/tests exercise the real-reference-data serving
+    machinery (the counterpart of the reference's per-step wav reads,
+    soundspaces/simulator.py:652-662) without shipping Matterport assets."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from avlen_tpu.data.reference import HostRIRStore, pack_dense_rirs
+
+    s_count = int(bank.tables["positions"].shape[0])
+    n = bank.max_nodes
+    probe = np.asarray(
+        bank.rir.gather(jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32),
+                        jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32))
+    )
+    length = probe.shape[1]
+    total_bytes = s_count * 4 * n * n * length * 2 * 4
+    if total_bytes > 16 << 30:
+        raise ValueError(
+            f"PACK_HOST_RIRS would render a {total_bytes / 2**30:.1f} GB dense "
+            "bank; shrink SYNTHETIC.SIDE/RIR_LENGTH (real reference data is "
+            "already served host-side without densification)"
+        )
+    gather = jax.jit(lambda sc, a, r, s: bank.rir.gather(sc, a, r, s))
+    combos = np.stack(
+        np.meshgrid(np.arange(s_count), np.arange(4), np.arange(n), np.arange(n),
+                    indexing="ij"), -1,
+    ).reshape(-1, 4).astype(np.int32)
+    dense = np.empty((combos.shape[0], length, 2), np.float32)
+    for i in range(0, combos.shape[0], 1024):
+        part = combos[i : i + 1024]
+        dense[i : i + part.shape[0]] = np.asarray(
+            gather(part[:, 0], part[:, 1], part[:, 2], part[:, 3])
+        )
+    dense = dense.reshape(s_count, 4, n, n, length, 2)
+    cache_dir = tempfile.mkdtemp(prefix="avlen_packed_rirs_")
+    atexit.register(shutil.rmtree, cache_dir, ignore_errors=True)
+    idx = pack_dense_rirs(dense, os.path.join(cache_dir, "rirs"), sampling_rate)
+    del dense
+    bank.rir = HostRIRStore(idx)
 
 
 def _load_frame_banks_via_server(bank, tables_list, cache_dir: str) -> None:

@@ -112,10 +112,13 @@ _PRODUCTION_OPTS = [
 
 
 def bench_trainer(trainer_name: str, extra_opts, iters: int):
-    """(fps, mfu_or_None) timing the PRODUCTION trainer's own superstep —
-    the exact jitted program `run.py --run-type train` executes (trainer
-    built through the registry, config through get_config), so the
-    published number is what a user's training run achieves."""
+    """{"fps", "mfu", "superstep_s", ...} timing the PRODUCTION trainer's own
+    superstep — the exact program `run.py --run-type train` executes (trainer
+    built through the registry, config through get_config), so the published
+    number is what a user's training run achieves. Chunk-aware trainers
+    (host-prefetch audio path) run their host-driven chunked superstep, which
+    cannot be AOT-lowered as one executable — those report fps only, plus the
+    prefetcher's upload/replay counters."""
     import jax
 
     import avlen_tpu.rl.trainers  # noqa: F401
@@ -129,13 +132,40 @@ def bench_trainer(trainer_name: str, extra_opts, iters: int):
         trainer.ensure_setup()
         t_steps = trainer.num_steps
         num_envs = trainer.env.num_envs
+        key = jax.random.key(7)
+        consts = trainer.env.consts
+
+        chunked = getattr(trainer, "_chunked", None)
+        if chunked is not None:
+            # host-driven chunk loop: plan/upload between jitted chunk scans
+            train_state, carry = trainer._train_state(), trainer.carry
+            train_state, carry, traj, stats = trainer._superstep(
+                train_state, carry, key, consts
+            )  # warmup: compiles the chunk scan + update, fills the cache
+            jax.block_until_ready(stats["value_loss"])
+            pf = chunked.prefetcher
+            up0, ent0, rep0 = pf.uploads, pf.uploaded_entries, pf.replays
+            t0 = time.time()
+            for i in range(iters):
+                train_state, carry, traj, stats = trainer._superstep(
+                    train_state, carry, jax.random.fold_in(key, i), consts
+                )
+            jax.block_until_ready(stats["value_loss"])
+            dt = time.time() - t0
+            return {
+                "fps": iters * t_steps * num_envs / dt,
+                "mfu": None,
+                "superstep_s": dt / iters,
+                "prefetch_uploads": pf.uploads - up0,
+                "prefetch_entries": pf.uploaded_entries - ent0,
+                "prefetch_replays": pf.replays - rep0,
+                "chunk": chunked.chunk,
+            }
 
         from avlen_tpu.parallel.ddppo import _dedupe_buffers
 
         train_state = trainer._train_state()
         carry = _dedupe_buffers(trainer.carry)  # donated: unique buffers
-        key = jax.random.key(7)
-        consts = trainer.env.consts
         superstep = getattr(trainer._superstep, "_jitted", trainer._superstep)
         step_c, flops_iter = _aot(superstep, train_state, carry, key, consts)
         train_state, carry, traj, stats = step_c(train_state, carry, key, consts)  # warmup
@@ -152,7 +182,7 @@ def bench_trainer(trainer_name: str, extra_opts, iters: int):
         fps = iters * t_steps * num_envs / dt
         peak = _peak_flops()
         mfu = (flops_iter * iters / dt / peak) if (peak and flops_iter) else None
-        return fps, mfu
+        return {"fps": fps, "mfu": mfu, "superstep_s": dt / iters}
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -171,160 +201,91 @@ def bench_savi(num_envs: int, iters: int, banked: bool):
     )
 
 
+def _quick_speaker_snapshot(workdir: str) -> str:
+    """Train a tiny neural-speaker snapshot on the bench world's tables so
+    bench_interactive runs the SHIPPED config semantics
+    (savi_interactive_{1,2}nd_stage.yaml declare SPEAKER.BACKEND neural +
+    CKPT_PATH; the reference always serves queries from its pretrained
+    speaker, speaker_pipeline.py:27). Weight quality is irrelevant to
+    throughput — the hot-loop cost is the decode, not the loss."""
+    from avlen_tpu.config import get_config
+    from avlen_tpu.dialog.speaker.train_speaker import train_speaker
+    from avlen_tpu.sim.builder import build_world_from_config
+
+    cfg = get_config(opts=_PRODUCTION_OPTS, model_dir=workdir)
+    _, tables, _ = build_world_from_config(cfg, with_rgb=False, with_depth=False)
+    train_speaker(tables, num_steps=40, batch=32, hidden_size=128,
+                  checkpoint_dir=workdir)
+    return os.path.join(workdir, "speaker.pth")
+
+
 def bench_interactive(num_envs: int, iters: int):
     """Full AVLEN interactive superstep (π_g/π_l/π_q + CLIP + belief +
-    π_q PPO + π_l replay CE) through registry.get_trainer("ddppo")."""
-    return bench_trainer(
-        "ddppo",
+    π_q PPO + π_l replay CE) through registry.get_trainer("ddppo"), at the
+    shipped production-config semantics: NEURAL speaker snapshot serving the
+    instruction channel (savi_interactive_1st_stage.yaml SPEAKER.BACKEND) and
+    REPLAY_STORE per stage 2."""
+    workdir = tempfile.mkdtemp(prefix="avlen_speaker_")
+    try:
+        speaker_ckpt = _quick_speaker_snapshot(workdir)
+        return bench_trainer(
+            "ddppo",
+            [
+                "TRAINER_NAME", "ddppo",
+                "RL.PPO.policy_type", "interactive",
+                "REPLAY_STORE", "True",
+                "SPEAKER.BACKEND", "neural",
+                "SPEAKER.CKPT_PATH", speaker_ckpt,
+                "NUM_PROCESSES", str(num_envs),
+                "TASK_CONFIG.SIMULATOR.AUDIO.CACHE_SPECTROGRAMS", "True",
+            ],
+            iters,
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def bench_hostrir(num_envs: int = 64, iters: int = 2):
+    """The host-served audio path at the configuration that matters: the
+    SAME production SAVi SMT superstep as the headline (memory-150 SMT +
+    belief predictor + PPO), but with every RIR reaching the device through
+    the HostRIRStore machinery — the designated route for real 16 kHz
+    reference data whose dense bank exceeds DENSE_RIR_MAX_BYTES
+    (data/reference.py:502-521). DATASET.SYNTHETIC.PACK_HOST_RIRS densifies
+    the procedural RIRs into the store's on-disk format (sim/builder.py);
+    on this TPU's callback-less PJRT the savi trainer then runs its rollout
+    as chunked scans with host prefetch between chunks (parallel/chunked.py).
+    Returns the bench_trainer dict + a mode note."""
+    r = bench_trainer(
+        "savi",
         [
-            "TRAINER_NAME", "ddppo",
-            "RL.PPO.policy_type", "interactive",
-            "REPLAY_STORE", "True",
+            "TRAINER_NAME", "savi",
+            "RL.PPO.policy_type", "smt",
             "NUM_PROCESSES", str(num_envs),
-            "TASK_CONFIG.SIMULATOR.AUDIO.CACHE_SPECTROGRAMS", "True",
+            "TASK_CONFIG.SIMULATOR.AUDIO.CACHE_SPECTROGRAMS", "False",
+            # side-5 world bounds the dense pack (4·25²·24k·2·4B ≈ 480 MB);
+            # serving cost is per-step, not per-world, so the number holds
+            "TASK_CONFIG.DATASET.SYNTHETIC.SIDE", "5",
+            "TASK_CONFIG.DATASET.SYNTHETIC.PACK_HOST_RIRS", "True",
         ],
         iters,
     )
-
-
-def bench_hostrir(num_envs: int = 64, t_steps: int = 50, iters: int = 2):
-    """fps of the host-served audio path — the designated route for real
-    16 kHz reference data whose dense bank exceeds DENSE_RIR_MAX_BYTES
-    (data/reference.py:502-521): the synthetic world's RIRs packed into the
-    HostRIRStore on-disk format and re-served either through per-step
-    `io_callback` mmap gathers (callback-capable backends) or, on this TPU's
-    callback-less PJRT, through the chunked host-prefetch associative cache
-    (data/host_prefetch.py + parallel/chunked.py). Returns (fps, mode)."""
-    import jax
-    import jax.numpy as jnp
-
-    from avlen_tpu.core.episodes import pack_episodes
-    from avlen_tpu.data.reference import HostRIRStore, pack_dense_rirs
-    from avlen_tpu.models.policy import AudioNavBaselineNet, Policy
-    from avlen_tpu.rl.rollout import CarryState, collect_rollout
-    from avlen_tpu.sim.env import BatchedAudioNavEnv, EnvConfig
-    from avlen_tpu.sim.synthetic import make_episodes, make_scene_bank
-    from avlen_tpu.utils.platform import host_callbacks_supported
-
-    bank, tables = make_scene_bank(
-        np.random.RandomState(0), num_scenes=1, side=5, rir_length=24000,
-        sampling_rate=16000, num_sounds=2, with_frames=False,
-    )
-    n = bank.max_nodes
-
-    # render the procedural RIRs densely, pack them in store format
-    combos = np.stack(
-        np.meshgrid(np.arange(4), np.arange(n), np.arange(n), indexing="ij"), -1
-    ).reshape(-1, 3)
-    gather = jax.jit(lambda a, r, s: bank.rir.gather(jnp.zeros_like(a), a, r, s))
-    chunks = []
-    for i in range(0, combos.shape[0], 512):
-        part = combos[i : i + 512]
-        chunks.append(np.asarray(gather(part[:, 0], part[:, 1], part[:, 2])))
-    dense = np.concatenate(chunks, 0).reshape(1, 4, n, n, -1, 2)
-
-    workdir = tempfile.mkdtemp(prefix="avlen_hostrir_")
-    try:
-        idx = pack_dense_rirs(dense, os.path.join(workdir, "rirs"), 16000)
-        del dense, chunks
-        bank.spec_bank = None
-        store = HostRIRStore(idx)
-        bank.rir = store
-
-        prefetch = not host_callbacks_supported()
-        eps = make_episodes(np.random.RandomState(1), tables, 256, min_hops=2, max_hops=20, num_sounds=2)
-        packed = pack_episodes(eps, num_envs=num_envs)
-        prefetcher = None
-        if prefetch:
-            from avlen_tpu.data.host_prefetch import HostRIRPrefetcher
-
-            prefetcher = HostRIRPrefetcher(
-                store, np.asarray(bank.tables["hops"]), packed, capacity=3072,
-                lookahead_episodes=4,
-            )
-            bank.rir = prefetcher.make_cache()
-        env = BatchedAudioNavEnv(
-            bank, packed,
-            EnvConfig(max_episode_steps=150, sensors=("spectrogram", "pose"),
-                      record_audio_pairs=prefetch),
+    if "chunk" in r:
+        r["mode"] = (
+            f"chunked host-prefetch audio (AssocRIRCache, chunk={r['chunk']}, "
+            f"{r['prefetch_uploads']} uploads / {r['prefetch_entries']} RIRs / "
+            f"{r['prefetch_replays']} replays over {iters} supersteps) + fused "
+            "conv/STFT, production SMT-150 + belief policy — the "
+            "real-reference-data route on this callback-less PJRT "
+            "(data/host_prefetch.py)"
         )
-        policy = Policy(
-            net=AudioNavBaselineNet(
-                hidden_size=128, spectrogram_hw=env.spec_config.out_shape[:2],
-                use_rgb=False, use_depth=False,
-            ),
-            num_actions=4,
-        )
-        key = jax.random.key(0)
-        state, obs = env.reset()
-        hidden = jnp.zeros((num_envs, 128), jnp.float32)
-        params = policy.init(key, obs, hidden, jnp.ones((num_envs,)), key, method=Policy.act)
-
-        def collect(params, carry, consts, n=t_steps):
-            with env.binder.bind(consts):
-                def pol(o, h, m, k):
-                    return policy.apply(params, o, h, m, k, method=Policy.act)
-
-                def val(o, h, m):
-                    return policy.apply(params, o, h, m, method=Policy.get_value)
-
-                return collect_rollout(env._step_impl_noquery, pol, val, carry, n)
-
-        if prefetch:
-            import functools
-
-            from avlen_tpu.parallel.chunked import ChunkedCollector, resolve_chunk
-
-            chunk = resolve_chunk(t_steps, 10)
-            coll = ChunkedCollector(prefetcher, env.binder, chunk, t_steps)
-            consts0 = coll.prime(state)
-            obs = env._observe_jit(consts0, state)  # reset obs on a warm cache
-            carry = CarryState(env_state=state, obs=obs, hidden=hidden,
-                               masks=jnp.zeros((num_envs,)), key=key)
-            chunk_jit = jax.jit(functools.partial(collect, n=chunk))
-
-            def run_once(carry):
-                carry, batch, _ = coll.run(
-                    lambda c, cr: chunk_jit(params, cr, c), carry
-                )
-                return carry, batch
-
-            carry, batch = run_once(carry)  # compile + first cache fills
-            jax.block_until_ready(batch.rewards)
-            t0 = time.time()
-            for _ in range(iters):
-                carry, batch = run_once(carry)
-            jax.block_until_ready(batch.rewards)
-            dt = time.time() - t0
-            mode = (
-                f"chunked host-prefetch audio (AssocRIRCache, chunk={chunk}, "
-                f"{coll.prefetcher.uploads} uploads / "
-                f"{coll.prefetcher.uploaded_entries} RIRs / "
-                f"{coll.prefetcher.replays} replays total) + fused conv/STFT, "
-                "GRU policy — the real-reference-data route on this "
-                "callback-less PJRT (data/host_prefetch.py)"
-            )
-            return iters * t_steps * num_envs / dt, mode
-
-        carry = CarryState(env_state=state, obs=obs, hidden=hidden,
-                           masks=jnp.zeros((num_envs,)), key=key)
-        consts = env.binder.arrays
-        collect_c, _ = _aot(jax.jit(collect), params, carry, consts)
-        carry, batch = collect_c(params, carry, consts)
-        jax.block_until_ready(batch.rewards)
-        t0 = time.time()
-        for _ in range(iters):
-            carry, batch = collect_c(params, carry, consts)
-        jax.block_until_ready(batch.rewards)
-        dt = time.time() - t0
-        mode = (
+    else:
+        r["mode"] = (
             "io_callback mmap RIR gathers (HostRIRStore) + fused conv/STFT, "
-            "GRU policy — the real-reference-data route on callback-capable "
-            "backends"
+            "production SMT-150 + belief policy — the real-reference-data "
+            "route on callback-capable backends"
         )
-        return iters * t_steps * num_envs / dt, mode
-    finally:
-        shutil.rmtree(workdir, ignore_errors=True)
+    return r
 
 
 # ---------------------------------------------------------------------------
@@ -502,16 +463,21 @@ def main() -> None:
     # for small worlds; real MP3D scenes render per step, so this is the
     # number a real-data run achieves). Banked is reported as an extra.
     _note("savi non-banked (headline): building")
-    fps, mfu = bench_savi(num_envs=128, iters=4, banked=False)
+    r_main = bench_savi(num_envs=128, iters=4, banked=False)
+    fps, mfu = r_main["fps"], r_main["mfu"]
     _note(f"savi non-banked: {fps:.0f} fps, mfu {mfu}")
-    fps_banked, mfu_banked = bench_savi(num_envs=128, iters=5, banked=True)
+    r_banked = bench_savi(num_envs=128, iters=5, banked=True)
+    fps_banked, mfu_banked = r_banked["fps"], r_banked["mfu"]
     _note(f"savi banked: {fps_banked:.0f} fps, mfu {mfu_banked}")
-    fps_int, mfu_int = bench_interactive(num_envs=64, iters=2)
+    r_int = bench_interactive(num_envs=64, iters=2)
+    fps_int, mfu_int = r_int["fps"], r_int["mfu"]
     _note(f"interactive: {fps_int:.0f} fps, mfu {mfu_int}")
     try:
-        fps_hostrir, hostrir_note = bench_hostrir(num_envs=64, t_steps=50, iters=2)
+        r_hostrir = bench_hostrir(num_envs=64, iters=2)
+        fps_hostrir, hostrir_note = r_hostrir["fps"], r_hostrir["mode"]
         _note(f"hostrir audio: {fps_hostrir:.0f} fps ({hostrir_note[:60]}...)")
     except Exception as e:
+        r_hostrir = {}
         fps_hostrir = None
         hostrir_note = (
             f"host-served audio path failed ({type(e).__name__}: "
@@ -566,11 +532,33 @@ def main() -> None:
             "interactive_3policy_fps": round(fps_int, 1),
             "interactive_3policy_mfu": round(mfu_int, 4) if mfu_int is not None else None,
             "interactive_3policy_note": (
-                "full AVLEN superstep: pi_g/pi_l/pi_q + CLIP dialog tower + belief "
-                "predictor rollout, pi_q PPO + pi_l replay CE, 64 envs, T=150"
+                "full AVLEN superstep at the SHIPPED config semantics: "
+                "pi_g/pi_l/pi_q + NEURAL speaker instruction channel "
+                "(SPEAKER.BACKEND neural + snapshot, as "
+                "savi_interactive_1st_stage.yaml) + CLIP dialog tower + belief "
+                "predictor rollout, pi_q PPO + pi_l replay CE (REPLAY_STORE), "
+                "64 envs, T=150"
+            ),
+            # per-superstep wall seconds: the regression-visibility signal
+            # (VERDICT r4 #6) — BENCH_r*.json diffs show where time moved
+            "superstep_seconds": {
+                "savi_nonbanked": round(r_main["superstep_s"], 3),
+                "savi_banked": round(r_banked["superstep_s"], 3),
+                "interactive": round(r_int["superstep_s"], 3),
+                "hostrir": (
+                    round(r_hostrir["superstep_s"], 3)
+                    if r_hostrir.get("superstep_s") else None
+                ),
+            },
+            "pallas_smt": os.environ.get("AVLEN_PALLAS_SMT", "auto"),
+            "pallas_smt_note": (
+                "SMT encode (fusion MLP -> encoder -> single-query decoder "
+                "over the ring memory) as one fused Mosaic kernel "
+                "(ops/pallas_smt.py), engaged via TPU.PALLAS_SMT=auto in all "
+                "SMT-family policies"
             ),
             "trainer_config_note": (
-                "all three numbers time the registry-built trainers' own "
+                "all numbers time the registry-built trainers' own "
                 "supersteps (run.py path); bf16 towers, donated carries"
             ),
             "pallas_irfft": os.environ.get("AVLEN_PALLAS_IRFFT", "auto"),

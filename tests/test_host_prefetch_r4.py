@@ -235,3 +235,72 @@ def test_savi_host_prefetch_trains_on_mesh(tmp_path):
     assert trainer.num_updates_done == 1
     for leaf in jax.tree.leaves(trainer.params):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_pack_host_rirs_routes_synthetic_world_through_store(tmp_path):
+    """DATASET.SYNTHETIC.PACK_HOST_RIRS (r5): the procedural RIRs are densely
+    rendered, packed into the HostRIRStore on-disk format and re-served
+    through the chunked prefetch cache — the config-only route that lets
+    benchmarks exercise the real-reference-data serving machinery (the
+    counterpart of soundspaces/simulator.py:652-662) at any synthetic scale.
+    Spectrograms must match the pure device-bank world bit-for-bit."""
+    from avlen_tpu.config import get_config
+    from avlen_tpu.core.registry import registry
+    from avlen_tpu.data.host_prefetch import AssocRIRCache
+
+    opts = [
+        "TASK_CONFIG.DATASET.SYNTHETIC.NUM_SCENES", "1",
+        "TASK_CONFIG.DATASET.SYNTHETIC.SIDE", "3",
+        "TASK_CONFIG.DATASET.SYNTHETIC.RIR_LENGTH", "600",
+        "TASK_CONFIG.DATASET.SYNTHETIC.NUM_EPISODES", "16",
+        "TASK_CONFIG.DATASET.SYNTHETIC.FRAME_RES", "32",
+        "TASK_CONFIG.SIMULATOR.AUDIO.RIR_SAMPLING_RATE", "4000",
+        "TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS", "10",
+        "NUM_PROCESSES", "2",
+        "NUM_UPDATES", "2",
+        "RL.PPO.num_steps", "8",
+        "RL.PPO.num_mini_batch", "1",
+        "RL.PPO.ppo_epoch", "1",
+        "RL.PPO.hidden_size", "32",
+        "LOG_INTERVAL", "1",
+        "CHECKPOINT_INTERVAL", "1000000",
+    ]
+    import avlen_tpu.rl.trainers  # noqa: F401
+    from avlen_tpu.sim.builder import construct_batched_env
+
+    cfg_dense = get_config(opts=opts + [
+        "TASK_CONFIG.SIMULATOR.AUDIO.CACHE_SPECTROGRAMS", "False",
+    ])
+    cfg_pack = get_config(opts=opts + _PREFETCH_OPTS[2:] + [
+        "TASK_CONFIG.DATASET.SYNTHETIC.PACK_HOST_RIRS", "True",
+    ])
+    env_a = construct_batched_env(cfg_dense, with_depth=False)
+    env_b = construct_batched_env(cfg_pack, with_depth=False)
+    assert env_b.host_prefetcher is not None
+    assert isinstance(env_b.bank.rir, AssocRIRCache)
+
+    from avlen_tpu.parallel.chunked import ChunkedCollector
+
+    state_a, obs_a = env_a.reset()
+    state_b, _ = env_b.reset()
+    coll = ChunkedCollector(env_b.host_prefetcher, env_b.binder, 1, 1)
+    consts_b = coll.prime(state_b)
+    obs_b = env_b._observe_jit(consts_b, state_b)
+    np.testing.assert_allclose(
+        np.asarray(obs_a["spectrogram"]), np.asarray(obs_b["spectrogram"]), atol=1e-5
+    )
+
+    # and the savi trainer trains end-to-end through the packed route
+    cfg = _model_dirs(
+        get_config(opts=opts + _PREFETCH_OPTS + [
+            "TASK_CONFIG.DATASET.SYNTHETIC.PACK_HOST_RIRS", "True",
+        ]),
+        tmp_path,
+    )
+    trainer = registry.get_trainer("savi")(cfg)
+    trainer.ensure_setup()
+    assert trainer._chunked is not None
+    trainer.train()
+    assert trainer.num_updates_done == 2
+    for leaf in jax.tree.leaves(trainer.params):
+        assert np.isfinite(np.asarray(leaf)).all()
