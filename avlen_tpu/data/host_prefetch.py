@@ -335,12 +335,19 @@ class HostRIRPrefetcher(HostPairPrefetcher):
 
 
 def env_state_to_host(env_state) -> Dict[str, np.ndarray]:
-    """Pull the scalar state fields the prefetcher plans from (tiny D2H)."""
-    return {
-        "scene": np.asarray(env_state.scene),
-        "node": np.asarray(env_state.node),
-        "goal_node": np.asarray(env_state.goal_node),
-        "distractor_node": np.asarray(env_state.distractor_node),
-        "ep_order": np.asarray(env_state.ep_order),
-        "cursor": np.asarray(env_state.cursor),
+    """Pull the scalar state fields the prefetcher plans from (tiny D2H).
+
+    The copies are issued async first so the 6 fields ride one round trip of
+    the (possibly tunneled) transport instead of 6 sequential ones."""
+    fields = {
+        "scene": env_state.scene,
+        "node": env_state.node,
+        "goal_node": env_state.goal_node,
+        "distractor_node": env_state.distractor_node,
+        "ep_order": env_state.ep_order,
+        "cursor": env_state.cursor,
     }
+    for v in fields.values():
+        if hasattr(v, "copy_to_host_async"):
+            v.copy_to_host_async()
+    return {k: np.asarray(v) for k, v in fields.items()}

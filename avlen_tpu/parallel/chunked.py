@@ -277,6 +277,9 @@ class ChunkedCollector:
         self.num_chunks = num_steps // chunk
         self.max_replays = max_replays
         self.cache = prefetcher.make_cache()
+        # per-phase wall-second accumulators (bench/profiling: where does the
+        # chunked path spend its non-device time? — VERDICT r4 #5)
+        self.timings = {"plan_s": 0.0, "ensure_s": 0.0, "device_s": 0.0, "verify_s": 0.0}
         # optional second prefetched stream: speaker instruction tokens for
         # the interactive/dialog rollouts (same plan geometry, same
         # verify/replay backstop — dialog/instr_prefetch.py)
@@ -313,26 +316,38 @@ class ChunkedCollector:
         combine: Callable = combine_rollout_batches,
     ):
         """Collect num_chunks × chunk steps. Returns (carry, traj, consts)."""
+        import time
+
         trajs: List = []
         for _ in range(self.num_chunks):
             # prefetch everything the next `chunk` steps can request
+            t0 = time.perf_counter()
             st = env_state_to_host(carry.env_state)
-            self.cache = self.prefetcher.ensure(
-                self.cache, self.prefetcher.plan(st, self.chunk)
-            )
+            plan = self.prefetcher.plan(st, self.chunk)
+            instr_plan = self.instr.plan(st, self.chunk) if self.instr is not None else None
+            t1 = time.perf_counter()
+            self.timings["plan_s"] += t1 - t0
+            self.cache = self.prefetcher.ensure(self.cache, plan)
             if self.instr is not None:
-                self.instr_cache = self.instr.ensure(
-                    self.instr_cache, self.instr.plan(st, self.chunk)
-                )
+                self.instr_cache = self.instr.ensure(self.instr_cache, instr_plan)
+            t2 = time.perf_counter()
+            self.timings["ensure_s"] += t2 - t1
             consts_k = self.current_consts(consts)
             saved = carry
             for attempt in range(self.max_replays):
+                t3 = time.perf_counter()
                 carry2, traj = chunk_fn(consts_k, saved)
-                metrics = {
-                    k: np.asarray(v)
-                    for k, v in metrics_of(traj).items()
+                pair_vals = {
+                    k: v for k, v in metrics_of(traj).items()
                     if k.startswith("pair_")
                 }
+                # one async round trip for all recorded pair arrays
+                for v in pair_vals.values():
+                    if hasattr(v, "copy_to_host_async"):
+                        v.copy_to_host_async()
+                metrics = {k: np.asarray(v) for k, v in pair_vals.items()}
+                t4 = time.perf_counter()
+                self.timings["device_s"] += t4 - t3
                 missing = self.prefetcher.missing_of(
                     self.prefetcher.requested_keys(metrics)
                 )
@@ -341,6 +356,7 @@ class ChunkedCollector:
                     if self.instr is not None
                     else np.zeros((0,), np.int64)
                 )
+                self.timings["verify_s"] += time.perf_counter() - t4
                 if missing.size == 0 and missing_instr.size == 0:
                     break
                 # backstop: more resets than the lookahead covered — upload

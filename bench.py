@@ -145,6 +145,7 @@ def bench_trainer(trainer_name: str, extra_opts, iters: int):
             jax.block_until_ready(stats["value_loss"])
             pf = chunked.prefetcher
             up0, ent0, rep0 = pf.uploads, pf.uploaded_entries, pf.replays
+            chunked.timings = {k: 0.0 for k in chunked.timings}
             t0 = time.time()
             for i in range(iters):
                 train_state, carry, traj, stats = trainer._superstep(
@@ -160,6 +161,12 @@ def bench_trainer(trainer_name: str, extra_opts, iters: int):
                 "prefetch_entries": pf.uploaded_entries - ent0,
                 "prefetch_replays": pf.replays - rep0,
                 "chunk": chunked.chunk,
+                # where the non-update time went, per superstep (plan = D2H +
+                # numpy ball; ensure = mmap reads + H2D scatter; device =
+                # chunk scans incl. the pair-metric D2H; verify = key checks)
+                "phase_s": {
+                    k: round(v / iters, 4) for k, v in chunked.timings.items()
+                },
             }
 
         from avlen_tpu.parallel.ddppo import _dedupe_buffers
@@ -529,6 +536,7 @@ def main() -> None:
             ),
             "hostrir_fps": round(fps_hostrir, 1) if fps_hostrir is not None else None,
             "hostrir_note": hostrir_note,
+            "hostrir_phase_s": r_hostrir.get("phase_s"),
             "interactive_3policy_fps": round(fps_int, 1),
             "interactive_3policy_mfu": round(mfu_int, 4) if mfu_int is not None else None,
             "interactive_3policy_note": (
