@@ -40,12 +40,20 @@ class PPOConfig:
     use_gae: bool = True
     use_normalized_advantage: bool = False
     use_clipped_value_loss: bool = True
+    # linear LR decay to 0 over the run (reference: LambdaLR with
+    # linear_decay(update, NUM_UPDATES), ppo_trainer.py:1176-1178); the
+    # horizon is in OPTIMIZER steps = NUM_UPDATES × ppo_epoch × num_mini_batch
+    use_linear_lr_decay: bool = False
+    lr_decay_steps: int = 0
 
 
 def make_optimizer(config: PPOConfig) -> optax.GradientTransformation:
+    lr = config.lr
+    if config.use_linear_lr_decay and config.lr_decay_steps > 0:
+        lr = optax.linear_schedule(config.lr, 0.0, config.lr_decay_steps)
     return optax.chain(
         optax.clip_by_global_norm(config.max_grad_norm),
-        optax.adam(config.lr, eps=config.eps),
+        optax.adam(lr, eps=config.eps),
     )
 
 

@@ -50,6 +50,8 @@ def ppo_config_from(config) -> PPOConfig:
         tau=p.tau,
         use_gae=p.use_gae,
         use_normalized_advantage=p.use_normalized_advantage,
+        use_linear_lr_decay=p.use_linear_lr_decay,
+        lr_decay_steps=config.NUM_UPDATES * p.ppo_epoch * p.num_mini_batch,
     )
 
 

@@ -108,7 +108,11 @@ def main() -> None:
         "RL.PPO.CLIP_LAYERS", "4",
         "RL.PPO.SCENE_MEMORY_TRANSFORMER.hidden_size", "128",
         "NUM_DIALOG_STEPS", "4",
-        "CHECKPOINT_INTERVAL", "100",
+        "CHECKPOINT_INTERVAL", "50",
+        # linear LR decay (the reference's LambdaLR mechanism,
+        # ppo_trainer.py:1176-1178): PPO at this small batch (32 envs × 40
+        # steps) oscillates hard late in training without it
+        "RL.PPO.use_linear_lr_decay", "True",
     ]
     curves = {}
 
@@ -118,6 +122,39 @@ def main() -> None:
         for tag, (steps, vals) in scrape_tb(cfg.TENSORBOARD_DIR).items():
             curves[f"{stage}/{tag}"] = (steps, vals)
         print(f"[parity] stage {stage} done", flush=True)
+
+    from avlen_tpu.utils.tb import TensorboardWriter
+
+    def pick_best_ckpt(stage, trainer_name, extra, ckpts, n_eval=60):
+        """The reference's eval-best protocol (run.py --run-type eval +
+        find_best_ckpt_idx over val scalars): evaluate every saved checkpoint
+        on the val protocol and hand the winner to the next stage — PPO's
+        last update is not its best (base_trainer polling + run.py:22)."""
+        if len(ckpts) == 1:
+            return ckpts[0], {}
+        cfg = get_config(
+            opts=world + extra + [
+                "NUM_UPDATES", "1",
+                "TEST_EPISODE_COUNT", str(n_eval),
+                "VIDEO_OPTION", "[]",
+            ],
+            model_dir=os.path.join(w, "eval", f"pick_{stage}"),
+        )
+        trainer = registry.get_trainer(trainer_name)(cfg)
+        trainer.ensure_setup()
+        scores = {}
+        for ck in ckpts:
+            with TensorboardWriter(None) as writer:
+                means = trainer._eval_checkpoint(ck, writer, 0)
+            scores[ck] = (
+                float(means.get("success") or 0.0),
+                float(means.get("spl") or 0.0),
+            )
+            print(f"[parity] pick {stage}: {os.path.basename(ck)} -> "
+                  f"SR {scores[ck][0]:.3f} SPL {scores[ck][1]:.3f}", flush=True)
+        best = max(ckpts, key=lambda c: scores[c])
+        print(f"[parity] pick {stage}: best = {os.path.basename(best)}", flush=True)
+        return best, {os.path.basename(k): v for k, v in scores.items()}
 
     # stage 0: offline belief (audiogoal predictor) pretraining on the
     # SAME world bank (the recipe's pretraining stage, SURVEY.md §2.8)
@@ -133,26 +170,36 @@ def main() -> None:
     belief_ckpt = os.path.join(w, "belief", "label_predictor.pth")
     print("[parity] stage belief_pretrain done", flush=True)
 
+    def ckpts_of(*parts):
+        # numeric sort: ckpt.10.pth must follow ckpt.9.pth
+        found = glob.glob(os.path.join(w, *parts, "ckpt.*.pth"))
+        return sorted(found, key=lambda p: int(p.rsplit(".", 2)[-2]))
+
     # stage 1: SAVi SMT pretraining (memory 1)
-    run("savi_pretrain", "savi", [
-        "NUM_UPDATES", n(300),
+    pretrain_opts = [
         "RL.PPO.SCENE_MEMORY_TRANSFORMER.memory_size", "1",
         "RL.PPO.SCENE_MEMORY_TRANSFORMER.pretraining", "True",
-    ], os.path.join(w, "savi_pre"))
-
-    pre_ckpt = sorted(glob.glob(os.path.join(w, "savi_pre", "data", "ckpt.*.pth")))[-1]
+    ]
+    run("savi_pretrain", "savi", pretrain_opts + ["NUM_UPDATES", n(300)],
+        os.path.join(w, "savi_pre"))
+    pre_ckpt, _ = pick_best_ckpt(
+        "savi_pretrain", "savi", pretrain_opts, ckpts_of("savi_pre", "data")
+    )
 
     # stage 2: SAVi finetune (memory 30) + online belief predictor
-    run("savi_finetune", "savi", [
-        "NUM_UPDATES", n(400),
+    finetune_opts = [
         "RL.PPO.SCENE_MEMORY_TRANSFORMER.memory_size", "30",
         "RL.PPO.use_belief_predictor", "True",
         "RL.PPO.BELIEF_PREDICTOR.online_training", "True",
         "RL.PPO.BELIEF_PREDICTOR.pretrained_path", belief_ckpt,
         "RL.DDPPO.pretrained", "True",
         "RL.DDPPO.pretrained_weights", pre_ckpt,
-    ], os.path.join(w, "savi"))
-    goal_ckpt = sorted(glob.glob(os.path.join(w, "savi", "data", "ckpt.*.pth")))[-1]
+    ]
+    run("savi_finetune", "savi", finetune_opts + ["NUM_UPDATES", n(400)],
+        os.path.join(w, "savi"))
+    goal_ckpt, goal_scores = pick_best_ckpt(
+        "savi_finetune", "savi", finetune_opts, ckpts_of("savi", "data")
+    )
 
     # stage 3: pi_l dialog pretraining
     run("dialog_pretrain", "ddppo", [
@@ -162,7 +209,7 @@ def main() -> None:
         "CHECKPOINT_INTERVAL_DIALOG", "40",
         "RL.PPO.SCENE_MEMORY_TRANSFORMER.memory_size", "30",
     ], os.path.join(w, "vln"))
-    vln_ckpt = sorted(glob.glob(os.path.join(w, "vln", "data", "vln", "ckpt.*.pth")))[-1]
+    vln_ckpt = ckpts_of("vln", "data", "vln")[-1]
 
     # stage 4: neural speaker — the snapshot the interactive stage loads,
     # exactly as the reference always loads its pretrained speaker
@@ -192,7 +239,9 @@ def main() -> None:
     # stage 5: AVLEN interactive (pi_q PPO + pi_l replay, neural speaker)
     run("interactive", "ddppo", interactive_opts + ["NUM_UPDATES", n(200)],
         os.path.join(w, "avlen"))
-    avlen_ckpt = sorted(glob.glob(os.path.join(w, "avlen", "data", "ckpt.*.pth")))[-1]
+    avlen_ckpt, avlen_scores = pick_best_ckpt(
+        "interactive", "ddppo", interactive_opts, ckpts_of("avlen", "data")
+    )
 
     # ------------------------------------------------------------------
     # the paper's qualitative table: query strategies × heard/unheard
@@ -268,6 +317,13 @@ def main() -> None:
         "seed": args.seed,
         "scale": args.scale,
         "recipe": "belief → savi_pretrain → savi_finetune → dialog → speaker → interactive(neural speaker)",
+        "ckpt_selection": {
+            "protocol": "eval-best over saved checkpoints (run.py find_best_ckpt_idx protocol)",
+            "goal_ckpt": os.path.basename(goal_ckpt),
+            "goal_ckpt_scores": goal_scores,
+            "avlen_ckpt": os.path.basename(avlen_ckpt),
+            "avlen_ckpt_scores": avlen_scores,
+        },
         "savi_finetune": {
             "success": final("savi_finetune", "Metrics/success"),
             "spl": final("savi_finetune", "Metrics/spl"),
