@@ -109,9 +109,14 @@ def main() -> None:
         "RL.PPO.SCENE_MEMORY_TRANSFORMER.hidden_size", "128",
         "NUM_DIALOG_STEPS", "4",
         "CHECKPOINT_INTERVAL", "50",
+        # the RECIPE hyperparameters (savi_pretraining.yaml:21-28 — the
+        # config-default lr 7e-4 / entropy 0.01 / grad-norm 0.5 oscillated
+        # hard at this 32-env × 40-step batch and collapsed late runs)
+        "RL.PPO.lr", "2.5e-4",
+        "RL.PPO.entropy_coef", "0.05",
+        "RL.PPO.max_grad_norm", "0.2",
         # linear LR decay (the reference's LambdaLR mechanism,
-        # ppo_trainer.py:1176-1178): PPO at this small batch (32 envs × 40
-        # steps) oscillates hard late in training without it
+        # ppo_trainer.py:1176-1178) as extra late-run stability
         "RL.PPO.use_linear_lr_decay", "True",
     ]
     curves = {}
@@ -175,10 +180,17 @@ def main() -> None:
         found = glob.glob(os.path.join(w, *parts, "ckpt.*.pth"))
         return sorted(found, key=lambda p: int(p.rsplit(".", 2)[-2]))
 
-    # stage 1: SAVi SMT pretraining (memory 1)
+    # stage 1: SAVi SMT pretraining (memory 1). The reference pretrains WITH
+    # the belief predictor running online (savi_pretraining.yaml:41,55-56):
+    # the category/location beliefs ARE the goal descriptor, so a
+    # belief-free pretrain leaves the policy goal-blind (a zero decoder
+    # query) — its deterministic eval stays at chance.
     pretrain_opts = [
         "RL.PPO.SCENE_MEMORY_TRANSFORMER.memory_size", "1",
         "RL.PPO.SCENE_MEMORY_TRANSFORMER.pretraining", "True",
+        "RL.PPO.use_belief_predictor", "True",
+        "RL.PPO.BELIEF_PREDICTOR.online_training", "True",
+        "RL.PPO.BELIEF_PREDICTOR.pretrained_path", belief_ckpt,
     ]
     run("savi_pretrain", "savi", pretrain_opts + ["NUM_UPDATES", n(300)],
         os.path.join(w, "savi_pre"))
@@ -189,6 +201,8 @@ def main() -> None:
     # stage 2: SAVi finetune (memory 30) + online belief predictor
     finetune_opts = [
         "RL.PPO.SCENE_MEMORY_TRANSFORMER.memory_size", "30",
+        # stage 2 freezes the perception towers (savi.yaml:45)
+        "RL.PPO.SCENE_MEMORY_TRANSFORMER.freeze_encoders", "True",
         "RL.PPO.use_belief_predictor", "True",
         "RL.PPO.BELIEF_PREDICTOR.online_training", "True",
         "RL.PPO.BELIEF_PREDICTOR.pretrained_path", belief_ckpt,
