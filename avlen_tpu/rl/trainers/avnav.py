@@ -378,7 +378,10 @@ class AVNavTrainer(BaseRLTrainer):
         for _ in range(max_rollouts):
             if len(seen) >= count:
                 break
-            carry, batch = self._collect(consts, params, carry, deterministic=True)
+            # av_nav's reference eval samples (ppo_trainer.py:518
+            # deterministic=False); av_wan's takes argmax (its trainer keeps
+            # deterministic=True) — match each stack's own protocol
+            carry, batch = self._collect(consts, params, carry, deterministic=False)
             if first_chunk:
                 self._generate_eval_videos(batch, writer, checkpoint_index)
                 first_chunk = False

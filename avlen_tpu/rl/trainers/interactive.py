@@ -286,11 +286,17 @@ class InteractiveDDPPOTrainer(BaseRLTrainer):
         num_steps = self.num_steps
 
         def make_fns(pg, pd, po, pb, deterministic=False):
+            # the reference's EVAL protocol SAMPLES pi_g and pi_q
+            # (ppo_trainer.py:1940,1960 deterministic=False — argmax policies
+            # cycle on graph worlds and never reach the goal) and takes
+            # argmax only for pi_l (act_dialog deterministic=True, :1917);
+            # `deterministic` here is therefore eval-mode: it switches the
+            # eval query config below and pi_l's argmax, never pi_g/pi_q.
             def act_option(obs, pa, mf, mv, qs, lqi, key):
-                return option_p.apply(po, obs, pa, mf, mv, qs, lqi, key, deterministic, method=OptionPolicy.act)
+                return option_p.apply(po, obs, pa, mf, mv, qs, lqi, key, False, method=OptionPolicy.act)
 
             def act_goal(obs, pa, mf, mv, key):
-                return goal_p.apply(pg, obs, pa, mf, mv, key, deterministic, method=SMTPolicy.act)
+                return goal_p.apply(pg, obs, pa, mf, mv, key, False, method=SMTPolicy.act)
 
             def act_dialog(obs, pa, mf, mv, smf, smv, dialog, step, key, dclip=None):
                 return dialog_p.apply(

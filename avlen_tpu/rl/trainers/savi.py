@@ -531,7 +531,10 @@ class SaviTrainer(BaseRLTrainer):
         for _ in range(max_rollouts):
             if len(seen) >= count:
                 break
-            carry, batch = self._collect(consts, params, belief_params, carry, deterministic=True)
+            # the reference eval SAMPLES the goal policy (ppo_trainer.py:1960
+            # deterministic=False): an argmax policy cycles on graph worlds
+            # and never reaches the goal; sampling is the published protocol
+            carry, batch = self._collect(consts, params, belief_params, carry, deterministic=False)
             if videos_made < 2:
                 videos_made += self.generate_eval_videos(
                     batch.dones, batch.masks, batch.metrics, writer, checkpoint_index

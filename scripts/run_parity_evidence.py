@@ -61,6 +61,10 @@ def main() -> None:
     p.add_argument("--eval-count", type=int, default=100,
                    help="episodes per eval-table cell (reference protocol: "
                    "full split, savi/config/default.py:348-362)")
+    p.add_argument("--eval-only", action="store_true",
+                   help="skip all training stages; reuse the workdir's saved "
+                   "checkpoints and only (re)run checkpoint picking + the "
+                   "eval table")
     args = p.parse_args()
     w = args.workdir
     os.makedirs(w, exist_ok=True)
@@ -123,7 +127,8 @@ def main() -> None:
 
     def run(stage, trainer_name, extra, model_dir):
         cfg = get_config(opts=world + extra, model_dir=model_dir)
-        registry.get_trainer(trainer_name)(cfg).train()
+        if not args.eval_only:
+            registry.get_trainer(trainer_name)(cfg).train()
         for tag, (steps, vals) in scrape_tb(cfg.TENSORBOARD_DIR).items():
             curves[f"{stage}/{tag}"] = (steps, vals)
         print(f"[parity] stage {stage} done", flush=True)
@@ -166,14 +171,15 @@ def main() -> None:
     from avlen_tpu.pretraining.audiogoal_predictor import train_audiogoal_predictor
     from avlen_tpu.sim.builder import build_world_from_config
 
-    cfg0 = get_config(opts=world, model_dir=os.path.join(w, "belief"))
-    bank0, tables0, _ = build_world_from_config(cfg0, with_rgb=False, with_depth=False)
-    train_audiogoal_predictor(
-        bank0, num_steps=int(300 * args.scale), batch=64,
-        checkpoint_dir=os.path.join(w, "belief"), log_interval=100,
-    )
     belief_ckpt = os.path.join(w, "belief", "label_predictor.pth")
-    print("[parity] stage belief_pretrain done", flush=True)
+    if not args.eval_only:
+        cfg0 = get_config(opts=world, model_dir=os.path.join(w, "belief"))
+        bank0, tables0, _ = build_world_from_config(cfg0, with_rgb=False, with_depth=False)
+        train_audiogoal_predictor(
+            bank0, num_steps=int(300 * args.scale), batch=64,
+            checkpoint_dir=os.path.join(w, "belief"), log_interval=100,
+        )
+        print("[parity] stage belief_pretrain done", flush=True)
 
     def ckpts_of(*parts):
         # numeric sort: ckpt.10.pth must follow ckpt.9.pth
@@ -229,14 +235,15 @@ def main() -> None:
     # exactly as the reference always loads its pretrained speaker
     # (speaker_pipeline.py:27) and invokes it per query
     # (ppo_trainer.py:549-562)
-    from avlen_tpu.dialog.speaker.train_speaker import train_speaker
-
-    train_speaker(
-        tables0, num_steps=int(400 * args.scale), batch=32, hidden_size=128,
-        checkpoint_dir=os.path.join(w, "speaker"),
-    )
     speaker_ckpt = os.path.join(w, "speaker", "speaker.pth")
-    print("[parity] stage speaker done", flush=True)
+    if not args.eval_only:
+        from avlen_tpu.dialog.speaker.train_speaker import train_speaker
+
+        train_speaker(
+            tables0, num_steps=int(400 * args.scale), batch=32, hidden_size=128,
+            checkpoint_dir=os.path.join(w, "speaker"),
+        )
+        print("[parity] stage speaker done", flush=True)
 
     interactive_opts = [
         "RL.PPO.policy_type", "interactive",

@@ -141,7 +141,9 @@ def test_superstep_lowers_without_bank_literals():
         masks=jnp.zeros((4,), jnp.float32), memory=mem,
         belief=init_belief_state(4), key=jax.random.key(1),
     )
-    txt = step.lower((params, opt_state), carry, jax.random.key(2), env.binder.arrays).as_text()
+    # the superstep is wrapped by _stable_call (placement-committed args);
+    # AOT lowering goes through its ._jitted handle, as bench.py does
+    txt = step._jitted.lower((params, opt_state), carry, jax.random.key(2), env.binder.arrays).as_text()
     assert len(txt) < 25_000_000, f"superstep HLO {len(txt)/1e6:.1f} MB"
     # and it runs
     ts, carry2, batch, stats = step((params, opt_state), carry, jax.random.key(2), env.binder.arrays)
