@@ -65,7 +65,13 @@ def main() -> None:
                    help="skip all training stages; reuse the workdir's saved "
                    "checkpoints and only (re)run checkpoint picking + the "
                    "eval table")
+    p.add_argument("--retrain-interactive", action="store_true",
+                   help="reuse stages 0-4 but retrain stage 5 (AVLEN "
+                   "interactive) against the freshly-picked goal checkpoint, "
+                   "then rebuild the eval table")
     args = p.parse_args()
+    if args.retrain_interactive:
+        args.eval_only = True  # stages 0-4 reuse the workdir artifacts
     w = args.workdir
     os.makedirs(w, exist_ok=True)
 
@@ -258,6 +264,11 @@ def main() -> None:
     ]
 
     # stage 5: AVLEN interactive (pi_q PPO + pi_l replay, neural speaker)
+    if args.retrain_interactive:
+        import shutil as _sh
+
+        _sh.rmtree(os.path.join(w, "avlen"), ignore_errors=True)
+        args.eval_only = False  # train THIS stage
     run("interactive", "ddppo", interactive_opts + ["NUM_UPDATES", n(200)],
         os.path.join(w, "avlen"))
     avlen_ckpt, avlen_scores = pick_best_ckpt(
